@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.frontier.{EngineConfig, FrontierEngine}
+import graft.model.DocSynth
+import graft.snapshots.SnapshotStore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` operate on the driver-generated parquet tables under `dir`
+  * (TESTDATA.md); each SQL-expressible one has a DuckDB oracle in
+  * `oracleSql` with IDENTICAL column names/types on both sides. Frontier
+  * queries (fr_*) run over the deterministically synthesized interleaved
+  * doc table (BASELINE.json input_hint) and are checked rows-only by the
+  * driver; their real correctness gate is the oracle-equality ScalaTests.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: a three-round frontier crawl over the synthesized
+    * interleaved text+media web — returns the deterministic crawl log. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = DocSynth.Config(nHosts = 8, pagesPerHost = 12, hotFactor = 3)
+    val store = new SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-entry").toString)
+    val engine = new FrontierEngine(spark, store, EngineConfig(perHostBudget = 3))
+    engine.run(DocSynth.docs(spark, cfg).toDF(), DocSynth.seeds(cfg), 3)
+    engine.crawlLog()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
+  def oracleSql: Map[String, String] =
+    Queries.oracles
 }

