@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data dedup + similarity operators over the
+  * `documents` and `embeddings` tables. Everything is built from codegen'd
+  * built-ins (higher-order array functions, xxhash64) — no UDFs in the hot
+  * path — so the pipelines scale the way a 100 TB dedup pass must:
+  * explode → shuffle on content keys → per-bucket verify, never O(n²).
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** word-3-gram shingles of `text`, distinct, as an array column. */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3))))
+  }
+
+  /** MinHash signature: k permutation-hashes h_i(x) = (a_i*x64 + b_i) mod p,
+    * each minimized over the shingle set — pure column expressions. */
+  private def minhash(sh: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31-1 (Mersenne prime)
+    val sigs = (0 until k).map { i =>
+      val a = 2654435761L + 2L * i // odd multipliers < 2^32: a*(h mod p) < 2^63, ANSI-safe
+      val b = 40503L * (i + 7)
+      array_min(transform(sh, x => pmod(pmod(xxhash64(x), lit(p)) * a + b, lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- d2: MinHash + LSH banding near-dup detection ----------------------
+    // Scale path: signature (k=16) → 4 bands of 4 → bucket-join candidates →
+    // exact shingle-jaccard verify ≥ 0.8. The only join is on band buckets;
+    // at 10^9 docs each bucket holds only colliding docs (vs O(n²) pairs).
+    "d2_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val k = 16; val bands = 4; val rows = 4
+      val sig = t(s, dir, "documents")
+        .select($"doc_id", minhash(shingles($"text"), k).as("sig"),
+          shingles($"text").as("sh"))
+      val banded = sig.select($"doc_id", $"sh", posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows)).cast("string")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig_hash")
+      val a = banded.select($"band", $"sig_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      val b = banded.select($"band", $"sig_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+      a.join(b, Seq("band", "sig_hash")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+        .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("double"))
+        .withColumn("jaccard", $"inter" / $"uni")
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // ---- d3: SimHash near-dup (64-bit, banded Hamming search) --------------
+    // simhash bit j = sign of Σ_shingles (+1/-1 by shingle-hash bit j);
+    // shingles (not bare tokens) so shared vocabulary doesn't collapse all
+    // docs onto one hash; candidates share one of 4 16-bit blocks;
+    // verify Hamming ≤ 8.
+    "d3_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val toks = shingles($"text")
+      val bits = (0 until 64).map { j =>
+        (sum_hof(transform(toks, x =>
+          when(shiftright(xxhash64(x), j).bitwiseAND(1) === 1, 1).otherwise(-1))) > 0)
+          .cast("long") * lit(1L << j)
+      }
+      val sim = t(s, dir, "documents")
+        .select($"doc_id", bits.reduce(_ + _).as("simhash"))
+      val blocked = sim.select($"doc_id", $"simhash", posexplode(array(
+        (0 until 4).map(b => shiftright($"simhash", b * 16).bitwiseAND(0xffffL)): _*)))
+        .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
+      val a = blocked.select($"block", $"block_val", $"doc_id".as("doc_a"), $"simhash".as("h_a"))
+      val b = blocked.select($"block", $"block_val", $"doc_id".as("doc_b"), $"simhash".as("h_b"))
+      a.join(b, Seq("block", "block_val")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"h_a", $"h_b").distinct()
+        .withColumn("hamming", bit_count($"h_a".bitwiseXOR($"h_b")))
+        .filter($"hamming" <= 8)
+        .select($"doc_a", $"doc_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // ---- d4: exact n-gram Jaccard via inverted index (oracle-checked) ------
+    // Distributed shape: explode shingles → self-join on shingle (the
+    // inverted index) → count shared per pair → jaccard from per-doc sizes.
+    // Never materializes O(n²) pairs — only pairs sharing ≥1 shingle.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", shingles($"text").as("sh"))
+        .withColumn("n", size($"sh"))
+      val inv = docs.select($"doc_id", $"n", explode($"sh").as("g"))
+      val pairs = inv.as("x").join(inv.as("y"), $"x.g" === $"y.g")
+        .filter($"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+          $"x.n".as("na"), $"y.n".as("nb"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .withColumn("jaccard", $"shared".cast("double") /
+          ($"na" + $"nb" - $"shared").cast("double"))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // ---- d5: embedding-cosine near-dup (oracle-checked) --------------------
+    // Pairwise over a label-blocked join (at scale: LSH/IVF cells instead of
+    // labels); dot/norms as deterministic left-to-right double folds.
+    "d5_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("norm"))
+      val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("va"), $"norm".as("norm_a"))
+      val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("vb"), $"norm".as("norm_b"))
+      a.join(b, Seq("label")).filter($"id_a" < $"id_b")
+        .withColumn("cosine", dot($"va", $"vb") / ($"norm_a" * $"norm_b"))
+        .filter($"cosine" >= 0.42)
+        .select($"id_a", $"id_b", $"label".cast("int").as("label"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- ann1: brute-force cosine top-k (the correctness baseline) ---------
+    "ann1_topk_brute" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"norm".as("qnorm"))
+      val scored = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+        .withColumn("cosine", dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ---- ann2: IVF-style cell-partitioned ANN (the scale path, oracle-checked)
+    // Coarse quantizer = first 16 vectors as centroids (deterministic);
+    // every vector is assigned to its nearest centroid cell; queries search
+    // only their own cell. At 10^9 vectors this turns a full scan into a
+    // 1/16 scan per query (recall traded for throughput, like FAISS IVF).
+    "ann2_topk_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"norm".as("cnorm"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("sim", dot($"embedding", $"cv") / ($"norm" * $"cnorm"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"embedding", $"norm", $"cent_id".as("cell"))
+      val q = assigned.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+          $"norm".as("qnorm"), $"cell")
+      val scored = assigned.join(broadcast(q), Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cosine", dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
+        .orderBy($"query_id", $"rank")
+    })
+  )
+
+  /** Deterministic left-to-right double fold of Σ a_i*b_i (same op order as
+    * the DuckDB oracle's list_sum over element products). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ over an int array via aggregate (no UDAF). */
+  private def sum_hof(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, v) => acc + v.cast("long"))
+
+  val oracles: Map[String, String] = Map(
+    "d4_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]
+        |                        for i in range(1, len(ts)-1)]) AS ws FROM tok)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       len(list_intersect(a.ws,b.ws))*1.0 /
+        |         (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))*1.0 /
+        |        (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS INT) AS label
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)
+        |                for i in range(1, len(a.embedding)+1)]) / (a.norm*b.norm) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann1_topk_brute" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)
+        |            for i in range(1, len(e.embedding)+1)]) / (e.norm*q.qnorm) AS cosine
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann2_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS norm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cnorm FROM e WHERE vec_id < 16),
+        |sims AS (SELECT e.vec_id, c.cent_id,
+        |  list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(c.cv[i] AS DOUBLE)
+        |            for i in range(1, len(e.embedding)+1)]) / (e.norm*c.cnorm) AS sim
+        |  FROM e, cents c),
+        |assigned AS (SELECT vec_id, cent_id AS cell FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk
+        |  FROM sims) WHERE rk = 1),
+        |ea AS (SELECT e.*, a.cell FROM e JOIN assigned a USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qnorm, cell
+        |      FROM ea WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, ea.vec_id,
+        |  list_sum([CAST(ea.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)
+        |            for i in range(1, len(ea.embedding)+1)]) / (ea.norm*q.qnorm) AS cosine
+        |  FROM ea JOIN q ON ea.cell = q.cell AND ea.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -29,8 +29,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ DedupQueries.all
 
   def oracleSql: Map[String, String] =
-    Queries.oracles
+    Queries.oracles ++ DedupQueries.oracles
 }
