@@ -1,0 +1,410 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+/** Remaining reference-operator surface (SURVEY.md §2: J2 merge-FSM, F10
+  * robots flags, F14/F15 filename+shard functions, A2/A4 invariants, O4/O5)
+  * plus pipeline ops a 100 TB training-data run needs: sessionization,
+  * Structured Streaming with watermark, multimodal binary decode plumbing,
+  * language ID, fingerprinting, MIME normalization, rollup.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- J2: ordered dual-source merge validation with disturbance FSM ----
+    // (reference compareCdxRecords:447-632: merge two independently produced
+    // record lists, tolerate local disturbances, abort on 3-in-a-row or >10
+    // total). Side B = side A with deterministic drops + perturbations.
+    "j2_merge_validate" -> ((s, dir) => {
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+      // aggregate to unique keys first so the merge order is total
+      val a = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(sum(cents($"l_extendedprice")).as("price_a"))
+      val b = t(s, dir, "lineitem")
+        .filter($"l_suppkey" % 97 =!= 0)
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(sum(cents($"l_extendedprice") +
+          when($"l_partkey" % 101 === 3, 1L).otherwise(0L)).as("price_b"))
+      val merged = a.join(b, Seq("l_orderkey", "l_linenumber"), "full_outer")
+        .withColumn("bucket", $"l_orderkey" % 100)
+        .withColumn("disturbed",
+          when($"price_a".isNull || $"price_b".isNull || $"price_a" =!= $"price_b", 1L)
+            .otherwise(0L))
+      // gaps-and-islands: max consecutive disturbances per bucket
+      val wAll = Window.partitionBy($"bucket").orderBy($"l_orderkey", $"l_linenumber")
+      val wDist = Window.partitionBy($"bucket", $"disturbed")
+        .orderBy($"l_orderkey", $"l_linenumber")
+      val islands = merged
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("rd", row_number().over(wDist))
+        .withColumn("grp", $"rn" - $"rd")
+      islands.filter($"disturbed" === 1)
+        .groupBy($"bucket", $"grp").agg(count(lit(1)).as("run_len"))
+        .groupBy($"bucket").agg(max($"run_len").as("max_in_a_row"),
+          sum($"run_len").as("total_disturbances"))
+        .withColumn("abort",
+          ($"max_in_a_row" > 2 || $"total_disturbances" > 10).cast("int"))
+        .orderBy($"bucket")
+    }),
+
+    // ---- F10: robots directive parse → F/A/I flags -------------------------
+    "f10_robots_flags" -> ((s, dir) => {
+      import s.implicits._
+      val content = when($"doc_id" % 5 === 0, "NOFOLLOW")
+        .when($"doc_id" % 5 === 1, "noarchive, NOINDEX")
+        .when($"doc_id" % 5 === 2, "NONE")
+        .when($"doc_id" % 5 === 3, "ALL")
+        .otherwise("nofollow,noindex")
+      val lc = lower(content)
+      val isNone = lc.contains("none")
+      val flags = concat(
+        when(lc.contains("noarchive") || isNone, "A").otherwise(""),
+        when(lc.contains("nofollow") || isNone, "F").otherwise(""),
+        when(lc.contains("noindex") || isNone, "I").otherwise(""))
+      t(s, dir, "documents").select($"doc_id", content.as("robots"), flags.as("flags"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- F14: metadata filename generation bump + .gz ----------------------
+    "f14_filename_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val name = concat($"o_orderkey", lit("-metadata-1.warc"))
+      t(s, dir, "orders").select($"o_orderkey",
+          concat(regexp_extract(name, "(.*-)[0-9]+(\\.w?arc)", 1), lit("2"),
+            regexp_extract(name, "(.*-)[0-9]+(\\.w?arc)", 2), lit(".gz")).as("new_name"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- F15: reversed-digit shard path (depth 4) --------------------------
+    "f15_shard_path" -> ((s, dir) => {
+      import s.implicits._
+      val digits = $"o_orderkey".cast("string")
+      val padded = rpad(reverse(digits), 4, "0")
+      t(s, dir, "orders").select($"o_orderkey",
+          concat_ws("/", substring(padded, 1, 1), substring(padded, 2, 1),
+            substring(padded, 3, 1), substring(padded, 4, 1)).as("shard_path"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- A2/A4: structural count invariants --------------------------------
+    "a2_count_invariant" -> ((s, dir) => {
+      // +2-records invariant (reference getRecordDiff:105-108): new table =
+      // old table ∪ 2 synthetic records per order; check diff == 2 everywhere
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey")
+      val synth = t(s, dir, "orders").select($"o_orderkey".as("l_orderkey"))
+        .withColumn("two", explode(array(lit(1), lit(2)))).drop("two")
+      val oldC = li.groupBy($"l_orderkey").agg(count(lit(1)).as("n_old"))
+      val newC = li.unionByName(synth).groupBy($"l_orderkey").agg(count(lit(1)).as("n_new"))
+      oldC.join(newC, Seq("l_orderkey"))
+        .withColumn("diff", $"n_new" - $"n_old")
+        .groupBy($"diff").agg(count(lit(1)).as("n_orders"))
+        .orderBy($"diff")
+    }),
+
+    "a4_cross_source_equality" -> ((s, dir) => {
+      // two independent derivations of the same count must agree
+      // (reference compareCrawllogWithDedupcdxfile:147-166)
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val viaFilter = li.filter($"l_returnflag" === "R")
+        .groupBy($"l_linestatus").agg(count(lit(1)).as("n_filter"))
+      val viaSum = li.groupBy($"l_linestatus")
+        .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_sum"))
+      viaFilter.join(viaSum, Seq("l_linestatus"))
+        .withColumn("consistent", ($"n_filter" === $"n_sum").cast("int"))
+        .orderBy($"l_linestatus")
+    }),
+
+    // ---- O4/O5: eviction top-K + fixed-size chunking ------------------------
+    "o4_eviction_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      t(s, dir, "events").withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"user_id", $"rk", $"event_id")
+        .orderBy($"user_id", $"rk")
+    }),
+
+    "o5_chunked_limit" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"o_orderkey")
+      t(s, dir, "orders").select($"o_orderkey")
+        .withColumn("chunk", floor((row_number().over(w) - 1) / 50).cast("long"))
+        .groupBy($"chunk").agg(count(lit(1)).as("n"),
+          min($"o_orderkey").as("first_key"), max($"o_orderkey").as("last_key"))
+        .orderBy($"chunk")
+    }),
+
+    // ---- sessionization (gap > 30 min) --------------------------------------
+    "w2_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ep = $"ts".cast("timestamp").cast("long")
+      t(s, dir, "events")
+        .withColumn("gap", ep - lag(ep, 1).over(w))
+        .withColumn("new_session",
+          when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+        .groupBy($"user_id").agg(sum($"new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- F3: content digest round-trip equality (sha-256) -------------------
+    "f3_digest_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", sha2($"text".cast("binary"), 256).as("digest"),
+          (sha2($"text".cast("binary"), 256) ===
+            sha2(reverse(reverse($"text")).cast("binary"), 256)).cast("int")
+            .as("roundtrip_ok"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- F8: MIME normalization ---------------------------------------------
+    "f8_mime_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val mime = concat($"event_type", lit("/sub; charset=UTF 8"))
+      t(s, dir, "events").select($"event_id",
+          regexp_replace(trim(substring_index(mime, ";", 1)), " ", "%20").as("mime_norm"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- t3: language ID by stopword profile ---------------------------------
+    "t3_langid" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      def score(words: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(words))).cast("long")
+      val en = score(Seq("the", "of", "and"))
+      val de = score(Seq("der", "die", "und"))
+      val fr = score(Seq("le", "la", "et"))
+      t(s, dir, "documents")
+        .withColumn("s_en", en).withColumn("s_de", de).withColumn("s_fr", fr)
+        .withColumn("predicted",
+          when($"s_de" > $"s_en" && $"s_de" >= $"s_fr", "de")
+            .when($"s_fr" > $"s_en" && $"s_fr" > $"s_de", "fr")
+            .otherwise("en"))
+        .select($"doc_id", $"predicted", ($"predicted" === $"lang").cast("int").as("lang_match"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- t4: normalized document fingerprint ---------------------------------
+    "t4_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(lower($"text"), " +", " "))
+      t(s, dir, "documents")
+        .groupBy(md5(norm.cast("binary")).as("fingerprint"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .orderBy($"fingerprint")
+    }),
+
+    // ---- a6: rollup (multi-level aggregation) --------------------------------
+    "a6_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity".cast("long")).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"), $"n", $"sum_qty")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- Structured Streaming: watermark + tumbling window, AvailableNow ----
+    // (SURVEY.md §2.8: the frontier loop's incremental form). Oracle = the
+    // batch date_trunc equivalent — streaming and batch must agree exactly.
+    "st_stream_hourly" -> ((s, dir) => {
+      import s.implicits._
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> event-time type (UTC session)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+      val qname = "st_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname)
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour_start"),
+          $"event_type", $"n", $"value_cents")
+        .orderBy($"hour_start", $"event_type")
+    }),
+
+    // ---- multimodal: opaque binary columns + typed decode stub ---------------
+    // Real Spark plumbing (binary column, typed Dataset, mapPartitions with
+    // per-partition batch iteration, explicit output schema); the DECODE
+    // itself is a clearly-marked deterministic stub — media codecs are not
+    // in this container (builder contract). width/height derive from the
+    // first payload byte's nibbles, replicated exactly by the oracle.
+    "mm_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val withBlob = t(s, dir, "embeddings")
+        .select($"vec_id", unhex(md5(concat(lit("media-"), $"vec_id").cast("binary"))).as("payload"))
+        .as[(Long, Array[Byte])]
+      withBlob.mapPartitions { batch =>
+        // STUB decode: stands in for an image/audio codec. Deterministic
+        // function of the payload bytes so the pipeline stays testable.
+        batch.map { case (id, bytes) =>
+          val b0 = bytes(0) & 0xff
+          (id, 32 + (b0 >> 4), 32 + (b0 & 0xf), bytes.length.toLong)
+        }
+      }.toDF("vec_id", "width", "height", "n_bytes")
+        .orderBy($"vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j2_merge_validate" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber,
+        |        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_a
+        |      FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |        CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) +
+        |          CASE WHEN l_partkey % 101 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS price_b
+        |      FROM lineitem WHERE l_suppkey % 97 <> 0 GROUP BY 1, 2),
+        |m AS (SELECT coalesce(a.l_orderkey, b.l_orderkey) AS k,
+        |             coalesce(a.l_linenumber, b.l_linenumber) AS ln,
+        |             CASE WHEN a.price_a IS NULL OR b.price_b IS NULL
+        |                    OR a.price_a <> b.price_b THEN 1 ELSE 0 END AS disturbed
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber),
+        |i AS (SELECT k % 100 AS bucket, disturbed,
+        |             row_number() OVER (PARTITION BY k % 100 ORDER BY k, ln) -
+        |             row_number() OVER (PARTITION BY k % 100, disturbed ORDER BY k, ln) AS grp
+        |      FROM m),
+        |runs AS (SELECT bucket, grp, count(*) AS run_len FROM i
+        |         WHERE disturbed = 1 GROUP BY bucket, grp)
+        |SELECT bucket, CAST(max(run_len) AS BIGINT) AS max_in_a_row,
+        |       CAST(sum(run_len) AS BIGINT) AS total_disturbances,
+        |       CAST(max(run_len) > 2 OR sum(run_len) > 10 AS INT) AS abort
+        |FROM runs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "f10_robots_flags" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'NOFOLLOW'
+        |       WHEN doc_id % 5 = 1 THEN 'noarchive, NOINDEX'
+        |       WHEN doc_id % 5 = 2 THEN 'NONE'
+        |       WHEN doc_id % 5 = 3 THEN 'ALL'
+        |       ELSE 'nofollow,noindex' END AS robots FROM documents)
+        |SELECT doc_id, robots,
+        |  (CASE WHEN lower(robots) LIKE '%noarchive%' OR lower(robots) LIKE '%none%' THEN 'A' ELSE '' END) ||
+        |  (CASE WHEN lower(robots) LIKE '%nofollow%' OR lower(robots) LIKE '%none%' THEN 'F' ELSE '' END) ||
+        |  (CASE WHEN lower(robots) LIKE '%noindex%' OR lower(robots) LIKE '%none%' THEN 'I' ELSE '' END)
+        |  AS flags
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "f14_filename_rewrite" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderkey || '-metadata-1.warc', '(.*-)[0-9]+(\.w?arc)', 1)
+        |  || '2' ||
+        |  regexp_extract(o_orderkey || '-metadata-1.warc', '(.*-)[0-9]+(\.w?arc)', 2)
+        |  || '.gz' AS new_name
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f15_shard_path" ->
+      """SELECT o_orderkey,
+        |  substr(rpad(reverse(CAST(o_orderkey AS VARCHAR)),4,'0'),1,1) || '/' ||
+        |  substr(rpad(reverse(CAST(o_orderkey AS VARCHAR)),4,'0'),2,1) || '/' ||
+        |  substr(rpad(reverse(CAST(o_orderkey AS VARCHAR)),4,'0'),3,1) || '/' ||
+        |  substr(rpad(reverse(CAST(o_orderkey AS VARCHAR)),4,'0'),4,1) AS shard_path
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "a2_count_invariant" ->
+      """WITH oldc AS (SELECT l_orderkey, count(*) AS n_old FROM lineitem GROUP BY 1),
+        |newc AS (SELECT l_orderkey, count(*) AS n_new FROM (
+        |  SELECT l_orderkey FROM lineitem
+        |  UNION ALL SELECT o_orderkey FROM orders
+        |  UNION ALL SELECT o_orderkey FROM orders) GROUP BY 1)
+        |SELECT CAST(n_new - n_old AS BIGINT) AS diff,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM oldc JOIN newc USING (l_orderkey) GROUP BY 1 ORDER BY diff""".stripMargin,
+    "a4_cross_source_equality" ->
+      """WITH f AS (SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_filter
+        |           FROM lineitem WHERE l_returnflag='R' GROUP BY 1),
+        |sm AS (SELECT l_linestatus,
+        |         CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_sum
+        |       FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, n_filter, n_sum,
+        |       CAST(n_filter = n_sum AS INT) AS consistent
+        |FROM f JOIN sm USING (l_linestatus) ORDER BY l_linestatus""".stripMargin,
+    "o4_eviction_topk" ->
+      """SELECT user_id, CAST(rk AS INT) AS rk, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "o5_chunked_limit" ->
+      """SELECT CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 50 AS BIGINT) AS chunk,
+        |       o_orderkey FROM orders QUALIFY true""".stripMargin, // placeholder — replaced below
+    "w2_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id,
+        |  epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f3_digest_roundtrip" ->
+      """SELECT doc_id, sha256(text) AS digest, 1 AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f8_mime_normalize" ->
+      """SELECT event_id,
+        |  replace(trim(split_part(event_type || '/sub; charset=UTF 8', ';', 1)), ' ', '%20')
+        |    AS mime_norm
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t3_langid" ->
+      """WITH sc AS (SELECT doc_id, lang, string_split(text,' ') AS ts FROM documents),
+        |s2 AS (SELECT doc_id, lang,
+        |  len(list_filter(ts, t -> t IN ('the','of','and'))) AS s_en,
+        |  len(list_filter(ts, t -> t IN ('der','die','und'))) AS s_de,
+        |  len(list_filter(ts, t -> t IN ('le','la','et'))) AS s_fr FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN s_de > s_en AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+        |       ELSE 'en' END AS predicted,
+        |  CAST((CASE WHEN s_de > s_en AND s_de >= s_fr THEN 'de'
+        |             WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+        |             ELSE 'en' END) = lang AS INT) AS lang_match
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "a6_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus,'ALL') AS l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "st_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "mm_media_decode" ->
+      """WITH h AS (SELECT vec_id, md5('media-' || vec_id) AS hex FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(32 + strpos('0123456789abcdef', substr(hex,1,1)) - 1 AS INT) AS width,
+        |  CAST(32 + strpos('0123456789abcdef', substr(hex,2,1)) - 1 AS INT) AS height,
+        |  CAST(16 AS BIGINT) AS n_bytes
+        |FROM h ORDER BY vec_id""".stripMargin
+  ) ++ Map(
+    "o5_chunked_limit" ->
+      """WITH r AS (SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 50.0) AS BIGINT) AS chunk
+        |  FROM orders)
+        |SELECT chunk, CAST(count(*) AS BIGINT) AS n,
+        |       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM r GROUP BY chunk ORDER BY chunk""".stripMargin
+  )
+}

@@ -29,8 +29,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ DedupQueries.all
+    Queries.all ++ DedupQueries.all ++ PipelineQueries.all
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ DedupQueries.oracles
+    Queries.oracles ++ DedupQueries.oracles ++ PipelineQueries.oracles
 }
