@@ -44,17 +44,23 @@ object DedupQueries {
     "d2_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val k = 16; val bands = 4; val rows = 4
-      val sig = t(s, dir, "documents")
-        .select($"doc_id", minhash(shingles($"text"), k).as("sig"),
-          shingles($"text").as("sh"))
-      val banded = sig.select($"doc_id", $"sh", posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rows + 1, lit(rows)).cast("string")))))
+      // band-join IDs ONLY (shuffling the shingle arrays 4× dominated the
+      // cost); re-attach arrays to the tiny candidate set afterwards
+      val docsSh = t(s, dir, "documents")
+        .select($"doc_id", shingles($"text").as("sh"))
+      val banded = docsSh
+        .select($"doc_id", minhash($"sh", k).as("sig"))
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice($"sig", b * rows + 1, lit(rows)).cast("string")))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig_hash")
-      val a = banded.select($"band", $"sig_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      val b = banded.select($"band", $"sig_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-      a.join(b, Seq("band", "sig_hash")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+      val candidates = banded.as("x").join(banded.as("y"),
+          $"x.band" === $"y.band" && $"x.sig_hash" === $"y.sig_hash" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      candidates
+        .join(docsSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+        .join(docsSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
         .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
         .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("double"))
         .withColumn("jaccard", $"inter" / $"uni")
@@ -70,14 +76,19 @@ object DedupQueries {
     // verify Hamming ≤ 8.
     "d3_simhash" -> ((s, dir) => {
       import s.implicits._
-      val toks = shingles($"text")
-      val bits = (0 until 64).map { j =>
-        (sum_hof(transform(toks, x =>
-          when(shiftright(xxhash64(x), j).bitwiseAND(1) === 1, 1).otherwise(-1))) > 0)
-          .cast("long") * lit(1L << j)
-      }
-      val sim = t(s, dir, "documents")
-        .select($"doc_id", bits.reduce(_ + _).as("simhash"))
+      // explode shingles once, aggregate 64 flat bit-sums per doc — a single
+      // partial-aggregable groupBy (the 64-way nested-HOF formulation
+      // janino-compiled for minutes; this shape codegens in ms and scales:
+      // shuffle volume = 1 row/doc after map-side combine)
+      val exploded = t(s, dir, "documents")
+        .select($"doc_id", explode(shingles($"text")).as("g"))
+        .withColumn("h", xxhash64($"g"))
+      val bitSums = (0 until 64).map(j =>
+        sum(shiftright($"h", j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+      val agg = exploded.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhashCol = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+      val sim = agg.select($"doc_id", simhashCol.as("simhash"))
       val blocked = sim.select($"doc_id", $"simhash", posexplode(array(
         (0 until 4).map(b => shiftright($"simhash", b * 16).bitwiseAND(0xffffL)): _*)))
         .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
@@ -182,10 +193,6 @@ object DedupQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-
-  /** Σ over an int array via aggregate (no UDAF). */
-  private def sum_hof(arr: Column): Column =
-    aggregate(arr, lit(0L), (acc, v) => acc + v.cast("long"))
 
   val oracles: Map[String, String] = Map(
     "d4_ngram_jaccard" ->

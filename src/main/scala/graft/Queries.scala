@@ -133,8 +133,10 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum($"l_quantity".cast("long")).as("sum_qty"),
           sum(cents($"l_extendedprice")).as("sum_price_cents"),
-          min($"l_shipdate".cast("date").cast("string")).as("min_ship"),
-          max($"l_shipdate".cast("date").cast("string")).as("max_ship"))
+          // min/max on DATE (mutable int buffer) keeps HashAggregate; a
+          // string buffer would force SortAggregate — cast after the agg
+          min($"l_shipdate".cast("date")).cast("string").as("min_ship"),
+          max($"l_shipdate".cast("date")).cast("string").as("max_ship"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 

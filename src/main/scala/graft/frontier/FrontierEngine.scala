@@ -156,9 +156,12 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
         sched("canon") === docs("doc_id"), "left_anti")
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(404))
+    // cached: the log is written AND aggregated into lineage — without the
+    // cache each consumer re-scans the (100 TB at scale) doc table
     val crawlLogRound = hitLog.unionByName(missLog)
       .select(lit(r).as("round"), $"fetchTime", $"host", $"canon",
               $"depth", $"seq", $"status")
+      .cache()
 
     // ---- link extraction → canon → min-depth per target -------------------
     val links = hit
@@ -236,15 +239,17 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     }
     store.commit(r,
       Map("frontier" -> frontierNext, "seen_delta" -> seenDelta,
-          "host_next" -> hostNextNew, "crawl_log" -> crawlLogRound,
-          "lineage" -> lineage),
+          "host_next" -> hostNextNew.coalesce(1),
+          "crawl_log" -> crawlLogRound.coalesce(4),
+          "lineage" -> lineage.coalesce(1)),
       Map("seq_base" -> (seqBase + nNew),
           "seen_total" -> (seenTotal + nNew + blockedCount),
           "scheduled" -> nScheduled, "discovered" -> nDiscovered,
           "new_frontier" -> nNew, "blocked" -> blockedCount,
           "deduped" -> (nDiscovered - nNew - blockedCount)))
     store.writeBlob(r, "seen.bloom", serializeBloom(bloom))
-    scheduled.unpersist(); links.unpersist(); gated.unpersist(); newEntries.unpersist()
+    scheduled.unpersist(); links.unpersist(); gated.unpersist()
+    newEntries.unpersist(); crawlLogRound.unpersist()
     bloomBc.destroy()
     nScheduled
   }

@@ -143,6 +143,11 @@ object DocSynth extends Serializable {
   def seeds(cfg: Config): Seq[String] =
     (0 until math.min(4, cfg.nHosts)).map(h => s"http://WWW.${hostName(h)}:80/p/0")
 
+  /** Wide seed list (one per host) — the bench shape: a 10^10-URL frontier
+    * is seeded from a full archive host list, not 4 URLs. */
+  def seedsAll(cfg: Config): Seq[String] =
+    (0 until cfg.nHosts).map(h => s"http://WWW.${hostName(h)}:80/p/0")
+
   /** Distributed corpus — partitioning-independent by construction. */
   def docs(spark: SparkSession, cfg: Config, parts: Int = 32): Dataset[Doc] = {
     import spark.implicits._

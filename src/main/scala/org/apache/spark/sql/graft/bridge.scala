@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the graft SQL functions on an EXISTING session (the
+    * SparkSessionExtensions route only applies at session build time). */
+  def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("canonicalize_url",
+      args => graft.functions.CanonicalizeUrl(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_host",
+      args => graft.functions.UrlHost(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("resolve_url",
+      args => graft.functions.ResolveUrl(args(0), args(1)), "scala_udf")
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan quality gates — the 100 TB questions asked of the actual
+  * plans, not of intentions: do filters and projections reach the parquet
+  * scan, do small sides broadcast, does the dedup anti-join avoid
+  * cartesian shapes, do hot paths stay inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSuite {
+
+  /** Final (post-AQE) physical plan: run the query first so
+    * AdaptiveSparkPlan finalizes and codegen stages become visible. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect() // executes THIS plan, finalizing its AdaptiveSparkPlanExec
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1: filter and projection push into the parquet scan") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,0.0)") || p.contains("l_quantity"), p)
+    // only the needed columns are read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_returnflag"), "projection not pruned:\n" + p)
+  }
+
+  test("j3/j4/p1: dimension side broadcasts (no shuffle join for small dims)") {
+    Seq("j3_lookup_join", "j4_left_coalesce", "p1_blacklist_anti").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q does not broadcast:\n$p")
+    }
+  }
+
+  test("dedup anti-join shapes: no CartesianProduct anywhere") {
+    Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d5_embed_neardup", "j5_anti_seen")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      }
+  }
+
+  test("hot scalar pipelines stay inside WholeStageCodegen") {
+    Seq("f1_canon_url", "t1_token_count", "f17_annotation_parse").foreach { q =>
+      val p = plan(q)
+      // "*(n)" prefixes mark WholeStageCodegen stages in the final plan —
+      // the native canonicalize_url expression must not break them
+      assert(p.contains("*("), s"$q breaks codegen:\n$p")
+      assert(p.contains("*(1) Project") || p.contains("*(1) ColumnarToRow") ||
+        p.contains("*(1) Filter"), s"$q scan stage not codegen'd:\n$p")
+    }
+  }
+
+  test("aggregations are partial (map-side combine) AND hash-based") {
+    val p = plan("a1_agg_per_group")
+    assert(p.contains("partial_"), "no map-side combine:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "fell back to SortAggregate (immutable agg buffer?):\n" + p)
+  }
+}
