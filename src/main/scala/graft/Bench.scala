@@ -96,10 +96,12 @@ object Bench {
     } finally spark.stop()
 
     // ---- 2. frontier throughput at N and 4N cores ---------------------------
-    val webCfg = DocSynth.Config(nHosts = 600, pagesPerHost = 120, hotFactor = 40,
+    // big enough that per-round compute (link explode, canon, dedup joins)
+    // dominates job-scheduling overhead: ~1M docs, ~10M link edges
+    val webCfg = DocSynth.Config(nHosts = 3000, pagesPerHost = 300, hotFactor = 30,
       linksPerDoc = 10, seed = 42L)
-    val budget = 24
-    val rounds = 4
+    val budget = 64
+    val rounds = 3
     val small = math.max(1, cpus / 4)
     val (pN, tN) = frontierRun(small, webCfg, budget, rounds)
     val (p4, t4) = frontierRun(cpus, webCfg, budget, rounds)

@@ -29,8 +29,9 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ DedupQueries.all ++ PipelineQueries.all
+    Queries.all ++ DedupQueries.all ++ PipelineQueries.all ++ MiscQueries.all
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ DedupQueries.oracles ++ PipelineQueries.oracles
+    Queries.oracles ++ DedupQueries.oracles ++ PipelineQueries.oracles ++
+      MiscQueries.oracles
 }

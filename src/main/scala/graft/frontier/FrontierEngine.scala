@@ -146,26 +146,30 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val nScheduled = scheduled.count()
     if (nScheduled == 0) { scheduled.unpersist(); return 0 }
 
-    // ---- "fetch": broadcast the small schedule against the huge doc table -
+    // ---- "fetch": broadcast the small schedule against the huge doc table.
+    // The 100 TB doc table is scanned EXACTLY ONCE per round: the fetched
+    // batch (bounded by the politeness budget) is cached, and the 404 side
+    // is derived by anti-joining the schedule against the small fetched set
+    // — never by a second scan of the corpus.
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
-    val hit = docs.join(broadcast(sched), docs("doc_id") === sched("canon"))
-    val hitLog = hit.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
+    val fetched = docs.join(broadcast(sched), docs("doc_id") === sched("canon"))
+      .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"spans")
+      .cache()
+    val hitLog = fetched.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(200))
-    val missLog = sched.join(docs.select($"doc_id"),
-        sched("canon") === docs("doc_id"), "left_anti")
+    val missLog = sched
+      .join(broadcast(fetched.select($"canon")), Seq("canon"), "left_anti")
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(404))
-    // cached: the log is written AND aggregated into lineage — without the
-    // cache each consumer re-scans the (100 TB at scale) doc table
     val crawlLogRound = hitLog.unionByName(missLog)
       .select(lit(r).as("round"), $"fetchTime", $"host", $"canon",
               $"depth", $"seq", $"status")
       .cache()
 
     // ---- link extraction → canon → min-depth per target -------------------
-    val links = hit
-      .select($"doc_id", $"depth", explode($"spans").as("span"))
+    val links = fetched
+      .select($"canon".as("doc_id"), $"depth", explode($"spans").as("span"))
       .filter($"span.kind" === "link")
       .withColumn("target", resolve_url($"doc_id", $"span.media_ref"))
       .filter($"target".isNotNull)
@@ -248,8 +252,8 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "new_frontier" -> nNew, "blocked" -> blockedCount,
           "deduped" -> (nDiscovered - nNew - blockedCount)))
     store.writeBlob(r, "seen.bloom", serializeBloom(bloom))
-    scheduled.unpersist(); links.unpersist(); gated.unpersist()
-    newEntries.unpersist(); crawlLogRound.unpersist()
+    scheduled.unpersist(); fetched.unpersist(); links.unpersist()
+    gated.unpersist(); newEntries.unpersist(); crawlLogRound.unpersist()
     bloomBc.destroy()
     nScheduled
   }
