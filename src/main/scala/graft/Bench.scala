@@ -96,9 +96,10 @@ object Bench {
     } finally spark.stop()
 
     // ---- 2. frontier throughput at N and 4N cores ---------------------------
-    // big enough that per-round compute (link explode, canon, dedup joins)
-    // dominates job-scheduling overhead: ~1M docs, ~10M link edges
-    val webCfg = DocSynth.Config(nHosts = 3000, pagesPerHost = 300, hotFactor = 30,
+    // per-round work scales with hosts×budget (links exploded, canonicalized,
+    // deduped per round), so scale the HOST count until compute dominates
+    // job-scheduling overhead: ~2M docs, ~1M scheduled + ~10M links per round
+    val webCfg = DocSynth.Config(nHosts = 20000, pagesPerHost = 100, hotFactor = 30,
       linksPerDoc = 10, seed = 42L)
     val budget = 64
     val rounds = 3

@@ -18,7 +18,8 @@ case class EngineConfig(
     saltBuckets: Int = 8,        // per-host salting fanout for the schedule window
     seenShards: Int = 32,        // seen-set shard count (≫ executors at scale)
     bloomCapacity: Long = 1L << 22,
-    bloomFpp: Double = 0.01)
+    bloomFpp: Double = 0.01,
+    useHeapScheduler: Boolean = false)
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
   *
@@ -128,16 +129,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
 
-    // ---- politeness schedule: salted two-phase per-host top-B -------------
-    // Phase 1 bounds every host partition to saltBuckets*B rows before the
-    // exact per-host window — the per-host skew breaker of the north rule.
-    val w1 = Window.partitionBy($"host", $"salt").orderBy($"depth", $"seq")
-    val w2 = Window.partitionBy($"host").orderBy($"depth", $"seq")
-    val scheduled = frontier
-      .withColumn("salt", pmod(xxhash64($"canon"), lit(cfg.saltBuckets)))
-      .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= cfg.perHostBudget)
-      .withColumn("rank", row_number().over(w2)).filter($"rank" <= cfg.perHostBudget)
-      .drop("salt", "rn1")
+    // ---- politeness schedule: per-host top-B by (depth, seq) --------------
+    // Two interchangeable, equality-tested implementations (ScheduleSpec):
+    // the declarative salted two-phase window (default), and an explicit
+    // bounded min-heap per host (the north star's "min-heap on
+    // next-fetch-time") via flatMapGroups, O(B) memory per host.
+    val topB =
+      if (cfg.useHeapScheduler) Schedulers.heapTopB(frontier, cfg.perHostBudget)
+      else Schedulers.windowTopB(frontier, cfg.perHostBudget, cfg.saltBuckets)
+    val scheduled = topB
       .join(broadcast(hostNext), Seq("host"), "left")
       .withColumn("next_time", coalesce($"next_time", lit(0L)))
       .withColumn("delay", crawlDelayUdf($"host").cast("long"))
@@ -238,7 +238,11 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // canons (never a collect, never a full-seen rescan); fixed capacity
     // keeps the delta mergeable into the running filter.
     if (nNew + blockedCount > 0) {
-      val deltaBloom = gated.stat.bloomFilter("canon", cfg.bloomCapacity, cfg.bloomFpp)
+      // coalesce before the bloom aggregate: each partition task emits a
+      // full-capacity partial filter to the driver, so fewer partitions =
+      // less merge traffic (partials stay mergeable at fixed capacity)
+      val deltaBloom = gated.select($"canon").coalesce(8)
+        .stat.bloomFilter("canon", cfg.bloomCapacity, cfg.bloomFpp)
       bloom.mergeInPlace(deltaBloom)
     }
     store.commit(r,
