@@ -72,6 +72,9 @@ object Bench {
     // heavy candidate-pair queries (d2/d3/d4) are verified at sf0.01 by the
     // correctness gate; at bench SF they are included too — they are the
     // dedup workload this engine exists for.
+    // SPARK_GRAFT_BENCH_MODE=frontier skips the operator-query phase
+    // (local iteration on the scaling number)
+    val frontierOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("frontier")
     val skip = Set("fr_crawl_log", "fr_seen_set", "fr_lineage_metrics")
     val spark = session(cpus)
     // warm up session (codegen, parquet footer cache, JIT) so the first
@@ -82,7 +85,8 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = try {
-      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
+      (if (frontierOnly) Seq.empty
+       else SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -104,6 +108,9 @@ object Bench {
     val budget = 64
     val rounds = 3
     val small = math.max(1, cpus / 4)
+    // untimed JIT/classloading warmup so neither timed level absorbs it
+    frontierRun(small,
+      DocSynth.Config(nHosts = 200, pagesPerHost = 20, hotFactor = 4), 8, 2)
     val (pN, tN) = frontierRun(small, webCfg, budget, rounds)
     val (p4, t4) = frontierRun(cpus, webCfg, budget, rounds)
     require(pN == p4, s"determinism violation: $pN != $p4 URLs at different parallelism")

@@ -29,9 +29,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ DedupQueries.all ++ PipelineQueries.all ++ MiscQueries.all
+    Queries.all ++ DedupQueries.all ++ PipelineQueries.all ++ MiscQueries.all ++
+      StreamingQueries.all
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ DedupQueries.oracles ++ PipelineQueries.oracles ++
-      MiscQueries.oracles
+      MiscQueries.oracles ++ StreamingQueries.oracles
 }

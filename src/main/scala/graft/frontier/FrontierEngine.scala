@@ -19,7 +19,8 @@ case class EngineConfig(
     seenShards: Int = 32,        // seen-set shard count (≫ executors at scale)
     bloomCapacity: Long = 1L << 22,
     bloomFpp: Double = 0.01,
-    useHeapScheduler: Boolean = false)
+    useHeapScheduler: Boolean = false,
+    broadcastScheduleLimit: Long = 300000)
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
   *
@@ -146,20 +147,25 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val nScheduled = scheduled.count()
     if (nScheduled == 0) { scheduled.unpersist(); return 0 }
 
-    // ---- "fetch": broadcast the small schedule against the huge doc table.
+    // ---- "fetch": join the schedule against the huge doc table.
     // The 100 TB doc table is scanned EXACTLY ONCE per round: the fetched
     // batch (bounded by the politeness budget) is cached, and the 404 side
     // is derived by anti-joining the schedule against the small fetched set
-    // — never by a second scan of the corpus.
+    // — never by a second scan of the corpus. The broadcast is ADAPTIVE:
+    // collecting a multi-million-row schedule through the driver is a
+    // serial Amdahl term, so past broadcastScheduleLimit the join becomes a
+    // plain shuffled join (which parallelizes with the cluster).
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
-    val fetched = docs.join(broadcast(sched), docs("doc_id") === sched("canon"))
+    val small = nScheduled <= cfg.broadcastScheduleLimit
+    def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val fetched = docs.join(maybeBc(sched), docs("doc_id") === sched("canon"))
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"spans")
       .cache()
     val hitLog = fetched.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(200))
     val missLog = sched
-      .join(broadcast(fetched.select($"canon")), Seq("canon"), "left_anti")
+      .join(maybeBc(fetched.select($"canon")), Seq("canon"), "left_anti")
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(404))
     val crawlLogRound = hitLog.unionByName(missLog)
@@ -268,7 +274,14 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     if (store.currentVersion.isEmpty) init(seeds)
     var r = store.currentVersion.get + 1
     var last = r - 1
-    while (r <= maxRounds && runRound(docs, r) > 0) { last = r; r += 1 }
+    var continue = true
+    while (r <= maxRounds && continue) {
+      val t0 = System.nanoTime()
+      val n = runRound(docs, r)
+      System.err.println(f"[frontier] round $r: $n urls scheduled, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (n > 0) { last = r; r += 1 } else continue = false
+    }
     last
   }
 }
