@@ -20,7 +20,7 @@ case class EngineConfig(
     bloomCapacity: Long = 1L << 22,
     bloomFpp: Double = 0.01,
     useHeapScheduler: Boolean = false,
-    broadcastScheduleLimit: Long = 300000)
+    broadcastScheduleLimit: Long = 2000000)
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
   *
@@ -60,6 +60,16 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   import spark.implicits._
 
   def storeRoot: String = store.root
+
+  private val phaseLog = sys.env.contains("SPARK_GRAFT_PHASE_LOG")
+  private def timed[T](name: String)(f: => T): T = {
+    if (!phaseLog) f else {
+      val t0 = System.nanoTime()
+      val out = f
+      System.err.println(f"[phase] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
+  }
 
   private val robotsAllowsUdf = udf((host: String, path: String) =>
     DocSynth.robotsAllows(host, path))
@@ -144,7 +154,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("delay", crawlDelayUdf($"host").cast("long"))
       .withColumn("fetchTime", $"next_time" + ($"rank" - 1) * $"delay")
       .cache()
-    val nScheduled = scheduled.count()
+    val nScheduled = timed("schedule")(scheduled.count())
     if (nScheduled == 0) { scheduled.unpersist(); return 0 }
 
     // ---- "fetch": join the schedule against the huge doc table.
@@ -159,7 +169,14 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                                  $"fetchTime", $"rank", $"delay")
     val small = nScheduled <= cfg.broadcastScheduleLimit
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val fetched = docs.join(maybeBc(sched), docs("doc_id") === sched("canon"))
+    // project the corpus to link spans BEFORE the join: the crawler never
+    // needs text/media payloads, and when the schedule outgrows the
+    // broadcast limit the join shuffles doc rows — shuffling only the link
+    // spans cuts that payload ~3x (element-level pruning Catalyst cannot
+    // derive on its own)
+    val docsLinks = docs.select($"doc_id",
+      filter($"spans", sp => sp("kind") === "link").as("spans"))
+    val fetched = docsLinks.join(maybeBc(sched), docsLinks("doc_id") === sched("canon"))
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"spans")
       .cache()
     val hitLog = fetched.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
@@ -182,7 +199,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("canon2", canonicalize_url($"target"))
       .groupBy($"canon2".as("canon"))
       .agg((min($"depth") + 1).as("depth"))
-    val nDiscovered = links.cache().count()
+    val nDiscovered = timed("fetch+discover")(links.cache().count())
 
     // ---- dedup: bloom fast path + exact anti-join vs seen shards ----------
     // Bloom has no false negatives ⇒ !mightContain rows are PROVABLY new and
@@ -200,7 +217,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("allowed", robotsAllowsUdf($"host", $"path"))
       .cache()
     val allowed = gated.filter($"allowed")
-    val blockedCount = gated.filter(!$"allowed").count()
+    val blockedCount = timed("dedup+gate")(gated.filter(!$"allowed").count())
 
     // ---- deterministic seq assignment: global canon order without a
     // single-partition window — range-partition + sort gives a total order;
@@ -212,7 +229,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .map { case ((canon, host, depth), idx) => (canon, host, depth, seqBase + idx, r) }
       .toDF("canon", "host", "depth", "seq", "discovered_round")
       .cache()
-    val nNew = newEntries.count()
+    val nNew = timed("seq-assign")(newEntries.count())
 
     // ---- state updates -----------------------------------------------------
     val remaining = frontier.join(sched.select($"canon"), Seq("canon"), "left_anti")
@@ -247,11 +264,13 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       // coalesce before the bloom aggregate: each partition task emits a
       // full-capacity partial filter to the driver, so fewer partitions =
       // less merge traffic (partials stay mergeable at fixed capacity)
-      val deltaBloom = gated.select($"canon").coalesce(8)
-        .stat.bloomFilter("canon", cfg.bloomCapacity, cfg.bloomFpp)
-      bloom.mergeInPlace(deltaBloom)
+      timed("bloom") {
+        val deltaBloom = gated.select($"canon").coalesce(8)
+          .stat.bloomFilter("canon", cfg.bloomCapacity, cfg.bloomFpp)
+        bloom.mergeInPlace(deltaBloom)
+      }
     }
-    store.commit(r,
+    timed("commit")(store.commit(r,
       Map("frontier" -> frontierNext, "seen_delta" -> seenDelta,
           "host_next" -> hostNextNew.coalesce(1),
           "crawl_log" -> crawlLogRound.coalesce(4),
@@ -260,7 +279,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "seen_total" -> (seenTotal + nNew + blockedCount),
           "scheduled" -> nScheduled, "discovered" -> nDiscovered,
           "new_frontier" -> nNew, "blocked" -> blockedCount,
-          "deduped" -> (nDiscovered - nNew - blockedCount)))
+          "deduped" -> (nDiscovered - nNew - blockedCount))))
     store.writeBlob(r, "seen.bloom", serializeBloom(bloom))
     scheduled.unpersist(); fetched.unpersist(); links.unpersist()
     gated.unpersist(); newEntries.unpersist(); crawlLogRound.unpersist()

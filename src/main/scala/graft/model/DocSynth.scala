@@ -148,6 +148,11 @@ object DocSynth extends Serializable {
   def seedsAll(cfg: Config): Seq[String] =
     (0 until cfg.nHosts).map(h => s"http://WWW.${hostName(h)}:80/p/0")
 
+  /** k seeds per host — saturates the politeness budget from round 1. */
+  def seedsN(cfg: Config, k: Int): Seq[String] =
+    for (h <- 0 until cfg.nHosts; p <- 0 until math.min(k, cfg.pages(h)))
+      yield s"http://WWW.${hostName(h)}:80/p/$p"
+
   /** Distributed corpus — partitioning-independent by construction. */
   def docs(spark: SparkSession, cfg: Config, parts: Int = 32): Dataset[Doc] = {
     import spark.implicits._
