@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.snapshots.SnapshotStore
+
+/** Snapshot-layer semantics: atomic publication, versioned reads, metrics,
+  * blob sidecars, resume point. */
+class SnapshotSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("commit/read/metrics/blob round-trip with version history") {
+    val root = Files.createTempDirectory("snap-spec").toString
+    val store = new SnapshotStore(root)
+    assert(store.currentVersion.isEmpty)
+
+    store.commit(0, Map("t" -> Seq(1, 2, 3).toDF("x")), Map("n" -> 3L))
+    store.commit(1, Map("t" -> Seq(4, 5).toDF("x")), Map("n" -> 2L, "neg" -> -7L))
+    assert(store.currentVersion === Some(1))
+    assert(store.read(spark, "t").as[Int].collect().sorted === Array(4, 5))
+    assert(store.read(spark, "t", Some(0)).as[Int].collect().sorted === Array(1, 2, 3))
+    assert(store.readMetrics(1) === Map("n" -> 2L, "neg" -> -7L))
+
+    store.writeBlob(1, "bloom", Array[Byte](1, 2, 3))
+    assert(store.readBlob(1, "bloom").toSeq === Seq[Byte](1, 2, 3))
+  }
+
+  test("no torn reads: a .tmp metadata file is never the current version") {
+    val root = Files.createTempDirectory("snap-spec2").toString
+    val store = new SnapshotStore(root)
+    store.commit(0, Map("t" -> Seq(1).toDF("x")), Map.empty)
+    // simulate a crash mid-commit: stray tmp file must be ignored
+    Files.writeString(Paths.get(root, "metadata", "v1.json.tmp"), "{ partial")
+    assert(store.currentVersion === Some(0))
+    // resume writes v1 cleanly over the wreckage
+    store.commit(1, Map("t" -> Seq(2).toDF("x")), Map.empty)
+    assert(store.currentVersion === Some(1))
+    assert(store.read(spark, "t").as[Int].collect() === Array(2))
+  }
+
+  test("props survive JSON escaping") {
+    val root = Files.createTempDirectory("snap-spec3").toString
+    val store = new SnapshotStore(root)
+    store.commit(0, Map("t" -> Seq(1).toDF("x")), Map.empty,
+      Map("path" -> """C:\dir\"quoted"""")
+    )
+    assert(store.currentVersion === Some(0)) // metadata parsed as valid JSON
+    val txt = Files.readString(Paths.get(root, "metadata", "v0.json"))
+    assert(txt.contains("\\\\dir\\\\"))
+  }
+}
