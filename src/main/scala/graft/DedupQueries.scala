@@ -15,12 +15,18 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** word-3-gram shingles of `text`, distinct, as an array column. */
+  /** word-3-gram shingles of `text`, distinct, as an array column.
+    * Docs with <3 tokens yield an EMPTY array — guarded explicitly because
+    * sequence(0, size-3) would be a descending sequence for short docs and
+    * element_at(toks, 0) throws under Spark 4 ANSI mode (the DuckDB
+    * oracle's range(1, len-1) is naturally empty for the same docs). */
   private def shingles(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3))))
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: k permutation-hashes h_i(x) = (a_i*x64 + b_i) mod p,
@@ -69,28 +75,32 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // ---- d3: SimHash near-dup (64-bit, banded Hamming search) --------------
+    // ---- d3: SimHash near-dup (60-bit, banded Hamming search) --------------
     // simhash bit j = sign of Σ_shingles (+1/-1 by shingle-hash bit j);
     // shingles (not bare tokens) so shared vocabulary doesn't collapse all
-    // docs onto one hash; candidates share one of 4 16-bit blocks;
-    // verify Hamming ≤ 8.
+    // docs onto one hash; candidates share one of 4 15-bit blocks;
+    // verify Hamming ≤ 8. The shingle hash is the first 15 hex chars of
+    // md5 parsed as a 60-bit int — a function DuckDB replicates exactly,
+    // which is what makes the full simhash+banding pipeline oracle-checkable
+    // (xxhash64 has no DuckDB equivalent).
     "d3_simhash" -> ((s, dir) => {
       import s.implicits._
-      // explode shingles once, aggregate 64 flat bit-sums per doc — a single
-      // partial-aggregable groupBy (the 64-way nested-HOF formulation
+      // explode shingles once, aggregate 60 flat bit-sums per doc — a single
+      // partial-aggregable groupBy (the nested-HOF formulation
       // janino-compiled for minutes; this shape codegens in ms and scales:
       // shuffle volume = 1 row/doc after map-side combine)
       val exploded = t(s, dir, "documents")
         .select($"doc_id", explode(shingles($"text")).as("g"))
-        .withColumn("h", xxhash64($"g"))
-      val bitSums = (0 until 64).map(j =>
+        .withColumn("h", conv(substring(md5($"g".cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      val bitSums = (0 until 60).map(j =>
         sum(shiftright($"h", j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
       val agg = exploded.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhashCol = (0 until 64).map(j =>
+      val simhashCol = (0 until 60).map(j =>
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
       val sim = agg.select($"doc_id", simhashCol.as("simhash"))
       val blocked = sim.select($"doc_id", $"simhash", posexplode(array(
-        (0 until 4).map(b => shiftright($"simhash", b * 16).bitwiseAND(0xffffL)): _*)))
+        (0 until 4).map(b => shiftright($"simhash", b * 15).bitwiseAND(0x7fffL)): _*)))
         .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
       val a = blocked.select($"block", $"block_val", $"doc_id".as("doc_a"), $"simhash".as("h_a"))
       val b = blocked.select($"block", $"block_val", $"doc_id".as("doc_b"), $"simhash".as("h_b"))
@@ -102,24 +112,34 @@ object DedupQueries {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // ---- d4: exact n-gram Jaccard via inverted index (oracle-checked) ------
-    // Distributed shape: explode shingles → self-join on shingle (the
-    // inverted index) → count shared per pair → jaccard from per-doc sizes.
-    // Never materializes O(n²) pairs — only pairs sharing ≥1 shingle.
+    // ---- d4: exact n-gram Jaccard via capped inverted index (oracle-checked)
+    // Distributed shape: explode shingles → drop shingles with document
+    // frequency > dfCap (a boilerplate shingle shared by n docs would emit
+    // n² candidate rows — the one unbounded fanout in a 100 TB corpus) →
+    // self-join on the CAPPED index for candidates → exact jaccard verify on
+    // the full shingle arrays of the (tiny) candidate set. The verify step
+    // uses the uncapped sets, so the cap only bounds candidate generation;
+    // a true near-dup pair is kept as long as it shares one sub-cap shingle
+    // (near-identical docs share many pair-specific shingles). The oracle
+    // SQL applies the identical cutoff.
     "d4_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val dfCap = 20
+      val docsSh = t(s, dir, "documents")
         .select($"doc_id", shingles($"text").as("sh"))
-        .withColumn("n", size($"sh"))
-      val inv = docs.select($"doc_id", $"n", explode($"sh").as("g"))
-      val pairs = inv.as("x").join(inv.as("y"), $"x.g" === $"y.g")
+      val inv = docsSh.select($"doc_id", explode($"sh").as("g"))
+      val kept = inv.groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df" <= dfCap).select($"g")
+      val invCapped = inv.join(kept, Seq("g"))
+      val candidates = invCapped.as("x").join(invCapped.as("y"), Seq("g"))
         .filter($"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-          $"x.n".as("na"), $"y.n".as("nb"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .withColumn("jaccard", $"shared".cast("double") /
-          ($"na" + $"nb" - $"shared").cast("double"))
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      candidates
+        .join(docsSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+        .join(docsSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+        .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("double"))
+        .withColumn("jaccard", $"inter" / $"uni")
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
@@ -194,16 +214,67 @@ object DedupQueries {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Shared oracle CTE: word-3-gram shingle lists per doc. */
+  private val shCte =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]
+      |                        for i in range(1, len(ts)-1)]) AS ws FROM tok)""".stripMargin
+
+  /** d3's oracle is GENERATED (60 bit-sum columns): same md5-derived 60-bit
+    * shingle hash, same sign-aggregation, same 4×15-bit banding, same
+    * Hamming ≤ 8 — the full probabilistic pipeline replicated in DuckDB. */
+  private val d3Oracle: String = {
+    val bits = (0 until 60).map(j => s"sum(((h >> $j) & 1)*2 - 1) AS b$j").mkString(", ")
+    val simhash = (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""$shCte,
+       |ex AS (SELECT doc_id, unnest(ws) AS g FROM sh),
+       |hx AS (SELECT doc_id,
+       |  CAST(list_sum([(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)::BIGINT
+       |                 * (1::BIGINT << (4*(15-i))) for i in range(1,16)]) AS BIGINT) AS h
+       |  FROM ex),
+       |bs AS (SELECT doc_id, $bits FROM hx GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bs),
+       |blk AS (SELECT doc_id, simhash,
+       |  unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+       |          (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS block_val,
+       |  unnest([0,1,2,3]) AS block FROM sim),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS h_a, b.simhash AS h_b
+       |  FROM blk a JOIN blk b
+       |    ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "d4_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]
-        |                        for i in range(1, len(ts)-1)]) AS ws FROM tok)
+    // d2's LSH candidates are verified with the EXACT jaccard, so its output
+    // is the true ≥0.8 pair set whenever banding recall is total — which it
+    // is on the planted near-dups (j≈0.99 ⇒ miss prob ~4e-6 per pair;
+    // DedupSpec asserts lsh === exact). Oracle = the exact all-pairs SQL.
+    "d2_minhash_lsh" ->
+      s"""$shCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       len(list_intersect(a.ws,b.ws))*1.0 /
         |         (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws,b.ws))*1.0 /
+        |        (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_simhash" -> d3Oracle,
+    "d4_ngram_jaccard" ->
+      s"""$shCte,
+        |ex AS (SELECT doc_id, unnest(ws) AS g FROM sh),
+        |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 20),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         JOIN keep k ON k.g = a.g)
+        |SELECT c.doc_a, c.doc_b,
+        |       len(list_intersect(a.ws,b.ws))*1.0 /
+        |         (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+        |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
         |WHERE len(list_intersect(a.ws,b.ws))*1.0 /
         |        (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -47,6 +47,75 @@ object MiscQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // S7: ifile 3-column text parse (IFileLoaderImpl.java:40-47: each line
+    // "<oldOffset> <newOffset> <timestamp>" whitespace-split into longs)
+    // with the reference's TIMESTAMP DUALITY (SURVEY §1.2): the third
+    // column is an OPAQUE long that is either epoch-millis, a 14-digit
+    // yyyyMMddHHmmss, or -1 (absent) — never normalized, only classified.
+    "s7_ifile_parse" -> ((s, dir) => {
+      import s.implicits._
+      val ts = when($"o_orderkey" % 3 === 0, lit(-1L))
+        .when($"o_orderkey" % 3 === 1, lit(20140303123456L) + $"o_orderkey" % 86400)
+        .otherwise(lit(1393850096000L) + $"o_orderkey")
+      val line = concat($"o_orderkey", lit(" "), $"o_orderkey" + 4096, lit(" "), ts)
+      val f = split(trim(line), " ")
+      t(s, dir, "orders")
+        .withColumn("line", line)
+        .select($"o_orderkey",
+          element_at(f, 1).cast("long").as("old_offset"),
+          element_at(f, 2).cast("long").as("new_offset"),
+          element_at(f, 3).cast("long").as("ts"),
+          when(element_at(f, 3).cast("long") === -1, "none")
+            .when(element_at(f, 3).cast("long") >= 19700101000000L, "cdx14")
+            .otherwise("epoch_ms").as("ts_kind"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // F18: typed crawl.log/CDX line parse + migration patch
+    // (MetadatafileGeneratorRunnable.java:479-501: StringUtils.split the
+    // line, filename = split[8], offset = split[7], then split[8] += ".gz",
+    // split[7] = newOffset, rejoin with ' ')
+    "f18_crawllog_typed" -> ((s, dir) => {
+      import s.implicits._
+      val line = concat_ws(" ",
+        lit("20140303123456"), concat(lit("http://example.org/p/"), $"o_orderkey"),
+        lit("text/html"), lit("200"),
+        md5($"o_orderkey".cast("string").cast("binary")), lit("-"), lit("-"),
+        $"o_orderkey" * 17 % 1000003, concat($"o_orderkey", lit("-archive.arc")),
+        lit("-"))
+      val f = split(line, " ")
+      t(s, dir, "orders")
+        .withColumn("f", f)
+        .select($"o_orderkey",
+          element_at($"f", 8).cast("long").as("offset"),
+          element_at($"f", 9).as("filename"),
+          concat_ws(" ",
+            element_at($"f", 1), element_at($"f", 2), element_at($"f", 3),
+            element_at($"f", 4), element_at($"f", 5), element_at($"f", 6),
+            element_at($"f", 7),
+            (element_at($"f", 8).cast("long") + 4096).cast("string"),
+            concat(element_at($"f", 9), lit(".gz")), element_at($"f", 10))
+            .as("patched_line"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // F9: fuzzy MIME massage (PrecompressionRunnable.cleanupMimetype:634-697:
+    // %20 → space, collapse doubled spaces, trim) — the INVERSE direction of
+    // f8's normalization, used for tolerant cross-source comparison.
+    "f9_mime_massage" -> ((s, dir) => {
+      import s.implicits._
+      val messy = when($"event_id" % 3 === 0,
+          concat(lit("text/"), $"event_type", lit(";%20%20charset=iso%208859-1")))
+        .when($"event_id" % 3 === 1,
+          concat(lit("  application/"), $"event_type", lit("  xml ")))
+        .otherwise(concat(lit("image/"), $"event_type"))
+      t(s, dir, "events")
+        .select($"event_id", messy.as("mime_raw"),
+          trim(regexp_replace(regexp_replace(messy, "%20", " "), " +", " "))
+            .as("mime_massaged"))
+        .orderBy($"event_id")
+    }),
+
     // F13: case-insensitive header lookup over a headers map
     // (scanHeadersLC:329-353) — map_filter + lower on keys
     "f13_header_scan" -> ((s, dir) => {
@@ -86,6 +155,47 @@ object MiscQueries {
     "f13_header_scan" ->
       """SELECT event_id, '/moved/' || event_id AS location_header,
         |       CASE WHEN event_id % 3 = 0 THEN 'noindex' ELSE 'all' END AS robots_header
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s7_ifile_parse" ->
+      """WITH l AS (SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) || ' ' || CAST(o_orderkey + 4096 AS VARCHAR) || ' ' ||
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN -1
+        |            WHEN o_orderkey % 3 = 1 THEN 20140303123456 + o_orderkey % 86400
+        |            ELSE 1393850096000 + o_orderkey END AS VARCHAR) AS line
+        |  FROM orders),
+        |f AS (SELECT o_orderkey, string_split(trim(line), ' ') AS a FROM l)
+        |SELECT o_orderkey,
+        |       CAST(a[1] AS BIGINT) AS old_offset,
+        |       CAST(a[2] AS BIGINT) AS new_offset,
+        |       CAST(a[3] AS BIGINT) AS ts,
+        |       CASE WHEN CAST(a[3] AS BIGINT) = -1 THEN 'none'
+        |            WHEN CAST(a[3] AS BIGINT) >= 19700101000000 THEN 'cdx14'
+        |            ELSE 'epoch_ms' END AS ts_kind
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+    "f18_crawllog_typed" ->
+      """WITH l AS (SELECT o_orderkey,
+        |  '20140303123456 http://example.org/p/' || o_orderkey ||
+        |  ' text/html 200 ' || md5(CAST(o_orderkey AS VARCHAR)) || ' - - ' ||
+        |  CAST(o_orderkey * 17 % 1000003 AS VARCHAR) || ' ' ||
+        |  o_orderkey || '-archive.arc -' AS line FROM orders),
+        |f AS (SELECT o_orderkey, string_split(line, ' ') AS a FROM l)
+        |SELECT o_orderkey,
+        |       CAST(a[8] AS BIGINT) AS offset,
+        |       a[9] AS filename,
+        |       a[1] || ' ' || a[2] || ' ' || a[3] || ' ' || a[4] || ' ' || a[5] ||
+        |       ' ' || a[6] || ' ' || a[7] || ' ' ||
+        |       CAST(CAST(a[8] AS BIGINT) + 4096 AS VARCHAR) || ' ' ||
+        |       a[9] || '.gz' || ' ' || a[10] AS patched_line
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+    "f9_mime_massage" ->
+      """WITH m AS (SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'text/' || event_type || ';%20%20charset=iso%208859-1'
+        |       WHEN event_id % 3 = 1 THEN '  application/' || event_type || '  xml '
+        |       ELSE 'image/' || event_type END AS mime_raw
+        |  FROM events)
+        |SELECT event_id, mime_raw,
+        |       trim(regexp_replace(replace(mime_raw, '%20', ' '), ' +', ' ', 'g'))
+        |         AS mime_massaged
+        |FROM m ORDER BY event_id""".stripMargin
   )
 }

@@ -136,10 +136,17 @@ object PipelineQueries {
     }),
 
     "o5_chunked_limit" -> ((s, dir) => {
+      // global contiguous numbering WITHOUT a single-partition window: range-
+      // partition + in-partition sort gives a total order; zipWithIndex
+      // numbers it contiguously across partitions (the same idiom the
+      // frontier engine uses for seq assignment — the only forced RDD use).
+      // A Window.orderBy with no partitionBy would execute in ONE task.
       import s.implicits._
-      val w = Window.orderBy($"o_orderkey")
       t(s, dir, "orders").select($"o_orderkey")
-        .withColumn("chunk", floor((row_number().over(w) - 1) / 50).cast("long"))
+        .repartitionByRange(32, $"o_orderkey").sortWithinPartitions($"o_orderkey")
+        .as[Long].rdd.zipWithIndex()
+        .map { case (k, i) => (k, i / 50) }
+        .toDF("o_orderkey", "chunk")
         .groupBy($"chunk").agg(count(lit(1)).as("n"),
           min($"o_orderkey").as("first_key"), max($"o_orderkey").as("last_key"))
         .orderBy($"chunk")

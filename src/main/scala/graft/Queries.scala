@@ -57,7 +57,7 @@ object Queries {
           when($"event_type" === "click", "interactive")
             .when($"event_type" === "view", "passive")
             .otherwise("other"))
-        .groupBy($"route").agg(count(lit(1)).as("n"), cents(sum($"value")).as("value_cents"))
+        .groupBy($"route").agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
         .orderBy($"route")
     }),
 
@@ -270,17 +270,38 @@ object Queries {
   )
 
   /** Small deterministic frontier run shared by the fr_* queries —
-    * memoized per session (the crawl is deterministic, so one run serves). */
+    * memoized per session (the crawl is deterministic, so one run serves).
+    *
+    * The driver's check on fr_* is rows-only (no SQL oracle can express the
+    * crawl), so the equality gate is inlined here: the Spark crawl log and
+    * seen set are asserted equal to the independent single-threaded
+    * OracleCrawler on the same config — a silent engine regression makes
+    * the fr_* rows error out instead of returning plausible rows.
+    */
   private var cachedRun: Option[(SparkSession, FrontierEngine)] = None
   private def frontierRun(s: SparkSession): FrontierEngine = synchronized {
     cachedRun match {
       case Some((sess, e)) if sess eq s => e
       case _ =>
+        import s.implicits._
         val cfg = DocSynth.Config(nHosts = 8, pagesPerHost = 12, hotFactor = 3)
+        val rounds = 3; val budget = 3
         val store = new SnapshotStore(
           java.nio.file.Files.createTempDirectory("graft-q").toString)
-        val engine = new FrontierEngine(s, store, EngineConfig(perHostBudget = 3))
-        engine.run(DocSynth.docs(s, cfg, 8).toDF(), DocSynth.seeds(cfg), 3)
+        val engine = new FrontierEngine(s, store, EngineConfig(perHostBudget = budget))
+        engine.run(DocSynth.docs(s, cfg, 8).toDF(), DocSynth.seeds(cfg), rounds)
+        val oracle = graft.oracle.OracleCrawler.crawl(
+          DocSynth.localDocs(cfg), DocSynth.seeds(cfg), budget, rounds)
+        val sparkLog = engine.crawlLog()
+          .select($"round", $"fetchTime", $"host", $"canon", $"depth", $"seq", $"status")
+          .as[(Int, Long, String, String, Int, Long, Int)].collect().toVector
+        val oracleLog = oracle.log.map(e =>
+          (e.round, e.fetchTime, e.host, e.canon, e.depth, e.seq, e.status))
+        require(sparkLog == oracleLog,
+          s"fr_* gate: Spark crawl log (${sparkLog.size}) != oracle (${oracleLog.size})")
+        val sparkSeen = engine.seenSet().select($"canon").as[String].collect().toSet
+        require(sparkSeen == oracle.seen,
+          s"fr_* gate: seen set ${sparkSeen.size} != oracle ${oracle.seen.size}")
         cachedRun = Some((s, engine))
         engine
     }
@@ -302,7 +323,7 @@ object Queries {
       """SELECT CASE WHEN event_type='click' THEN 'interactive'
         |            WHEN event_type='view' THEN 'passive' ELSE 'other' END AS route,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(round(sum(value)*100,0) AS BIGINT) AS value_cents
+        |       CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY route""".stripMargin,
     "p6_contains_filter" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
