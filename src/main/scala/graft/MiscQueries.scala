@@ -99,6 +99,36 @@ object MiscQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // S9b: self-describing CDX schema-header dispatch
+    // (MetadatafileGeneratorRunnable.java:404: the " CDX A r b m S g V k"
+    // header line maps field letters to positions; readers locate each
+    // field BY THE HEADER, not by hardcoded index). Two header layouts are
+    // interleaved; offset/size/filename are extracted via the header's
+    // letter position — the same line parses differently per layout.
+    "s9_cdx_header" -> ((s, dir) => {
+      import s.implicits._
+      val isAlt = $"o_orderkey" % 2 === 0
+      val header = when(isAlt, "CDX A b m V S g").otherwise("CDX A b m S V g")
+      val url = concat(lit("http://example.org/"), $"o_orderkey")
+      val sizeV = ($"o_orderkey" % 1000 + 1).cast("string")
+      val offV = ($"o_orderkey" * 13 % 100000).cast("string")
+      val file = concat($"o_orderkey", lit(".arc"))
+      val line = when(isAlt,
+          concat_ws(" ", url, lit("20140301000000"), lit("text/html"), offV, sizeV, file))
+        .otherwise(
+          concat_ws(" ", url, lit("20140301000000"), lit("text/html"), sizeV, offV, file))
+      val hdr = split(header, " ")
+      val f = split(line, " ")
+      def field(letter: String) = // header token i (1-based, after "CDX") = line field i-1
+        element_at(f, (array_position(hdr, letter) - 1).cast("int"))
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          field("V").cast("long").as("offset"),
+          field("S").cast("long").as("size"),
+          field("g").as("filename"))
+        .orderBy($"o_orderkey")
+    }),
+
     // F9: fuzzy MIME massage (PrecompressionRunnable.cleanupMimetype:634-697:
     // %20 → space, collapse doubled spaces, trim) — the INVERSE direction of
     // f8's normalization, used for tolerant cross-source comparison.
@@ -187,6 +217,24 @@ object MiscQueries {
         |       CAST(CAST(a[8] AS BIGINT) + 4096 AS VARCHAR) || ' ' ||
         |       a[9] || '.gz' || ' ' || a[10] AS patched_line
         |FROM f ORDER BY o_orderkey""".stripMargin,
+    "s9_cdx_header" ->
+      """WITH l AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'CDX A b m V S g'
+        |       ELSE 'CDX A b m S V g' END AS header,
+        |  'http://example.org/' || o_orderkey || ' 20140301000000 text/html ' ||
+        |  CASE WHEN o_orderkey % 2 = 0
+        |       THEN CAST(o_orderkey * 13 % 100000 AS VARCHAR) || ' ' ||
+        |            CAST(o_orderkey % 1000 + 1 AS VARCHAR)
+        |       ELSE CAST(o_orderkey % 1000 + 1 AS VARCHAR) || ' ' ||
+        |            CAST(o_orderkey * 13 % 100000 AS VARCHAR) END ||
+        |  ' ' || o_orderkey || '.arc' AS line FROM orders),
+        |p AS (SELECT o_orderkey, string_split(header, ' ') AS h,
+        |             string_split(line, ' ') AS f FROM l)
+        |SELECT o_orderkey,
+        |       CAST(f[list_position(h, 'V') - 1] AS BIGINT) AS offset,
+        |       CAST(f[list_position(h, 'S') - 1] AS BIGINT) AS size,
+        |       f[list_position(h, 'g') - 1] AS filename
+        |FROM p ORDER BY o_orderkey""".stripMargin,
     "f9_mime_massage" ->
       """WITH m AS (SELECT event_id,
         |  CASE WHEN event_id % 3 = 0 THEN 'text/' || event_type || ';%20%20charset=iso%208859-1'

@@ -4,15 +4,18 @@ import java.net.URI
 
 /** URL canonicalization — the seen-set key of the frontier engine.
   *
-  * Semantics follow the reference's CDX 'N'-field canonicalizer
-  * (reference: precompression/PrecompressionRunnable.java:368-396 and
-  * CDXRecordExtractorOutput.java:591-620): for http(s) URLs the host is
-  * lowercased, a leading "www." is stripped, the default port is dropped,
-  * path+query are kept, and the whole string is lowercased; non-http URLs
-  * are lowercased verbatim. Fragments are dropped (they never reach the
-  * server). The function is pure, total and idempotent — properties the
-  * tests check — because it keys the exact seen set: two engines that
-  * disagree on one corner case diverge on the whole crawl.
+  * Semantics ADAPT (not bit-match) the reference's CDX 'N'-field
+  * canonicalizer (reference: CDXRecordExtractorOutput.java:591-620, which
+  * drops the scheme from its output key and special-cases http only): for
+  * http(s) URLs the host is lowercased, a leading "www." is stripped, the
+  * default port is dropped, path+query are kept, and the whole string is
+  * lowercased; non-http URLs are lowercased verbatim. Deliberate
+  * adaptations: the scheme is RETAINED as the seen-set key prefix (a
+  * crawler must not conflate http:// and https:// fetches) and https is
+  * treated symmetrically with :443-stripping. Fragments are dropped (they
+  * never reach the server). The function is pure, total and idempotent —
+  * properties the tests check — because it keys the exact seen set: two
+  * engines that disagree on one corner case diverge on the whole crawl.
   *
   * Kept deliberately regex-free and allocation-light: this runs once per
   * discovered link, i.e. O(10^11) times at a 10^10-URL frontier.
@@ -29,9 +32,21 @@ object UrlCanon extends Serializable {
     val isHttps = lower.startsWith("https://")
     if (!isHttp && !isHttps) return lower
     val schemeLen = if (isHttp) 7 else 8
+    // authority ends at the first of '/' or '?' ('#' already stripped) — a
+    // no-path URL with a query ("http://a.com:80?q=1") must not fold the
+    // query into the authority, or the default-port strip misses
     val slash = lower.indexOf('/', schemeLen)
-    var auth = if (slash < 0) lower.substring(schemeLen) else lower.substring(schemeLen, slash)
-    val pathQuery = if (slash < 0) "/" else lower.substring(slash)
+    val quest = lower.indexOf('?', schemeLen)
+    val authEnd =
+      if (slash < 0 && quest < 0) lower.length
+      else if (slash < 0) quest
+      else if (quest < 0) slash
+      else math.min(slash, quest)
+    var auth = lower.substring(schemeLen, authEnd)
+    val pathQuery =
+      if (authEnd == lower.length) "/"
+      else if (authEnd == quest && (slash < 0 || quest < slash)) "/" + lower.substring(authEnd)
+      else lower.substring(authEnd)
     if (auth.startsWith("www.")) auth = auth.substring(4)
     val defPort = if (isHttp) ":80" else ":443"
     if (auth.endsWith(defPort)) auth = auth.substring(0, auth.length - defPort.length)

@@ -64,8 +64,8 @@ case class EngineConfig(
   *     shuffle; might_contain rows get the exact decision (reference
   *     analog: negative cache, IFileLoaderImpl.java:21-29). Filters are
   *     built/updated by a distributed `BloomFilterAggregate` per shard
-  *     (never a driver-side scan) and probed by the native codegen'd
-  *     `might_contain` expression — no ScalaUDF on the hottest stream.
+  *     (never a driver-side scan) and probed by the codegen'd broadcast
+  *     `BloomProbe` expression — no ScalaUDF on the hottest stream.
   *     When the seen count outgrows capacity/2 the shards are rebuilt at
   *     4× capacity from the (sharded) seen set — O(log n) rebuilds over a
   *     crawl's lifetime, amortized O(n log n) total work. Capacity math at
@@ -76,12 +76,15 @@ case class EngineConfig(
   *   - per-host skew (hot hosts with 10^7 pending URLs) is salted: phase 1
   *     takes top-B per (host, salt) — cutting a hot host to saltBuckets*B
   *     rows — before the exact per-host top-B window in phase 2.
-  *   - the doc-table join broadcasts the per-round schedule (≤ hosts*B
-  *     rows), never the 100 TB doc table; filters/pruning push into the scan.
-  *   - ONE metrics aggregation per round (count + flag-sums over the
-  *     candidate set) instead of one count() action per metric, and the
-  *     snapshot tables + bloom delta all write CONCURRENTLY: per-round
-  *     fixed job latency is the Amdahl term that killed strong scaling.
+  *   - the corpus is projected ONCE PER CRAWL to a (doc_id, links) link
+  *     graph; per-round fetch joins broadcast the schedule (≤ hosts*B
+  *     rows) against that slim table — never the 100 TB doc table, and
+  *     never a per-round re-decode of the interleaved span structs.
+  *   - TWO metrics actions per round (schedule count + one flag-sum agg
+  *     over the candidate set) instead of one count() action per metric,
+  *     and the snapshot tables + bloom delta all write CONCURRENTLY:
+  *     per-round fixed job latency is the Amdahl term that kills strong
+  *     scaling at small webs.
   */
 class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                      cfg: EngineConfig = EngineConfig()) {
@@ -137,6 +140,25 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   private def deserializeBlooms(blobs: Array[Option[Array[Byte]]]): Array[BloomFilter] =
     blobs.map(_.map(BloomFilter.readFrom).orNull)
 
+  /** One-time projection of the interleaved-doc corpus to the slim link
+    * graph (doc_id, links: array<string>) the frontier actually consumes —
+    * element-level column pruning Catalyst cannot derive through the
+    * span-struct model, done ONCE PER CRAWL instead of once per round.
+    * Every doc row is kept (empty links array for link-less docs) so the
+    * fetch join's hit/404 split is unchanged. Persisted under the snapshot
+    * root: a resumed crawl reuses it, and at 100 TB it is the crawl's only
+    * full-corpus pass (~3% of corpus bytes thereafter). */
+  private def linkGraph(docs: DataFrame): DataFrame = {
+    val path = s"${store.root}/links"
+    if (!new java.io.File(path).exists) {
+      docs.select($"doc_id",
+          transform(filter($"spans", sp => sp("kind") === "link"),
+            sp => sp("media_ref")).as("links"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   private def keyed(df: DataFrame): DataFrame =
     df.withColumn("key", xxhash64($"canon"))
       .repartition(cfg.seenShards, pmod($"key", lit(cfg.seenShards)))
@@ -153,7 +175,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seen = keyed(canonSeeds.toDF("canon"))
     val hostNext = frontier.select($"host").distinct()
       .withColumn("next_time", lit(0L))
-    val capPerShard = math.max(1024L, cfg.bloomCapacity / cfg.seenShards)
+    val capPerShard = math.max(16L, cfg.bloomCapacity / cfg.seenShards)
     val blobs = aggBlooms(canonSeeds.toDF("canon"), capPerShard)
       .map { case (k, b) => bloomBlobName(k) -> b }
     store.commit(0,
@@ -212,7 +234,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seqBase = metrics("seq_base")
     val seenTotal = metrics("seen_total")
     val capPerShard = metrics.getOrElse("bloom_capacity",
-      math.max(1024L, cfg.bloomCapacity / cfg.seenShards))
+      math.max(16L, cfg.bloomCapacity / cfg.seenShards))
     val base = metrics.getOrElse("frontier_base", 0L).toInt
     val consumedTotal = metrics.getOrElse("consumed_total", 0L)
     if (seqBase - consumedTotal <= 0) return 0 // frontier drained: no job at all
@@ -240,14 +262,18 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("fetchTime", $"next_time" + ($"rank" - 1) * $"delay")
       .cache()
 
-    // ---- "fetch": join the schedule against the huge doc table.
-    // The 100 TB doc table is scanned EXACTLY ONCE per round: the fetched
-    // batch (bounded by the politeness budget) is cached, and the 404 side
-    // is derived by anti-joining the schedule against the small fetched set
-    // — never by a second scan of the corpus. The broadcast is ADAPTIVE:
-    // collecting a multi-million-row schedule through the driver is a
-    // serial Amdahl term, so past broadcastScheduleLimit the join becomes a
-    // plain shuffled join (which parallelizes with the cluster).
+    // ---- "fetch": join the schedule against the link graph.
+    // The 100 TB doc table is scanned EXACTLY ONCE PER CRAWL — the
+    // `linkGraph` projection (see its scaladoc) — and each round joins the
+    // schedule against that slim (doc_id, links) table instead of
+    // re-decoding interleaved span structs (measured 75 s/round of nested
+    // parquet decode + HOF filter at the 2M-doc bench web; the link table
+    // cuts the per-round scan to the ~3% of bytes the frontier needs).
+    // The 404 side is derived by anti-joining the schedule against the
+    // small fetched set — never by a second scan. The broadcast is
+    // ADAPTIVE: collecting a multi-million-row schedule through the driver
+    // is a serial Amdahl term, so past broadcastScheduleLimit the join
+    // becomes a plain shuffled join (which parallelizes with the cluster).
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
     // broadcast decision from the PREVIOUS round's committed metrics — an
@@ -260,15 +286,9 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val pendingCount = seqBase - consumedTotal
     val small = pendingCount <= cfg.broadcastScheduleLimit
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    // project the corpus to link spans BEFORE the join: the crawler never
-    // needs text/media payloads, and when the schedule outgrows the
-    // broadcast limit the join shuffles doc rows — shuffling only the link
-    // spans cuts that payload ~3x (element-level pruning Catalyst cannot
-    // derive on its own)
-    val docsLinks = docs.select($"doc_id",
-      filter($"spans", sp => sp("kind") === "link").as("spans"))
+    val docsLinks = linkGraph(docs)
     val fetched = docsLinks.join(maybeBc(sched), docsLinks("doc_id") === sched("canon"))
-      .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"spans")
+      .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"links")
       .cache()
     val hitLog = fetched.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .withColumn("status", lit(200))
@@ -281,14 +301,18 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
               $"depth", $"seq", $"status")
 
     // ---- link extraction → canon → min-depth per target -------------------
+    // cached: 4 downstream consumers (metrics agg, seq assignment, seen
+    // delta, bloom delta) re-derive their slices from this 2-column frame —
+    // caching the WIDE gated union instead cost 25 s of columnar build at
+    // the bench web, 7× the uncached recompute of the tail
     val links = fetched
-      .select($"canon".as("doc_id"), $"depth", explode($"spans").as("span"))
-      .filter($"span.kind" === "link")
-      .withColumn("target", resolve_url($"doc_id", $"span.media_ref"))
+      .select($"canon".as("doc_id"), $"depth", explode($"links").as("ref"))
+      .withColumn("target", resolve_url($"doc_id", $"ref"))
       .filter($"target".isNotNull)
       .withColumn("canon2", canonicalize_url($"target"))
       .groupBy($"canon2".as("canon"))
       .agg((min($"depth") + 1).as("depth"))
+      .cache()
 
     // ---- dedup: per-shard bloom fast path + exact check vs seen shards ----
     // Bloom has no false negatives ⇒ !might_contain rows are PROVABLY new
@@ -312,7 +336,6 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("host", url_host($"canon"))
       .withColumn("path", regexp_replace($"canon", "^https?://[^/]*", ""))
       .withColumn("allowed", robots_allows($"host", $"path"))
-      .cache()
     // TWO metrics jobs for the whole round (was four count() actions in
     // round 1): the schedule count (which materializes the schedule cache
     // for everything downstream) and one flag-sum aggregation over the
@@ -326,17 +349,23 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val nDiscovered = counts.getLong(0)
     val nNew = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     val blockedCount = if (counts.isNullAt(2)) 0L else counts.getLong(2)
-    if (nScheduled == 0) { scheduled.unpersist(); gated.unpersist(); return 0 }
+    if (nScheduled == 0) {
+      scheduled.unpersist(); fetched.unpersist(); links.unpersist(); return 0
+    }
 
     // ---- deterministic seq assignment: global canon order without a
     // single-partition window — range-partition + sort gives a total order;
     // zipWithIndex numbers it contiguously. Survives any cluster size.
     // (The one RDD use in the engine — FORCED: contiguous global numbering
     // has no shuffle-free Dataset equivalent that avoids a one-task window.)
+    // sortedNew is cached because zipWithIndex reads its parent TWICE (the
+    // ZippedWithIndexRDD constructor runs an eager partition-size job, then
+    // the real pass) — uncached, each pass recomputes the dedup+gate tail.
     val sortedNew = gated.filter($"is_new" && $"allowed")
       .select($"canon", $"host", $"depth")
       .repartitionByRange(cfg.seenShards, $"canon")
       .sortWithinPartitions($"canon")
+      .cache()
     val newEntries = sortedNew.as[(String, String, Int)].rdd.zipWithIndex()
       .map { case ((canon, host, depth), idx) => (canon, host, depth, seqBase + idx, r) }
       .toDF("canon", "host", "depth", "seq", "discovered_round")
@@ -440,7 +469,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "bloom_capacity" -> capOut,
           "frontier_base" -> newBase))
     scheduled.unpersist(); fetched.unpersist()
-    gated.unpersist(); newEntries.unpersist()
+    links.unpersist(); sortedNew.unpersist(); newEntries.unpersist()
     bloomsBc.destroy()
     nScheduled
   }

