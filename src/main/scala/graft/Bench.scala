@@ -174,25 +174,22 @@ object Bench {
     println(s"""GRAFT_LEVEL_RESULT {"cores":$cores,"urls":$p,"secs":$t,"kernel_urls":$kn,"kernel_secs":$kt}""")
   }
 
-  /** Fork a fresh JVM (same classpath + module opens) for one level.
-    * Returns (crawlUrls, crawlSecs, kernelUrls, kernelSecs). */
-  private def forkLevel(cores: Int, sizeName: String): (Long, Double, Long, Double) = {
+  /** Fork a fresh JVM (same classpath + module opens) for one phase. The
+    * ORCHESTRATOR JVM never opens a SparkSession — a parent that ran the
+    * query phase inline retained a ~60 GB grown heap for the rest of the
+    * bench, starving every forked level of page cache (measured: the
+    * 32-core level ran 3-6× slower in-bench than standalone until the
+    * parent went thin). Returns the child's stdout. */
+  private def forkJava(heapGb: Int, args: Seq[String]): String = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-D")) ++
-      // heap scales with the level's core count (1 GiB/core, floor 8) the
-      // way aggregate memory scales with executor count on a real N→4N
-      // cluster — a FIXED heap makes the 4N level GC-thrash (measured: the
-      // 32-core crawl took 3× the 8-core time in a shared 8g heap, while a
-      // giant shared heap slows both levels via cache retention)
-      Seq("-Xmx" + sys.env.getOrElse("SPARK_GRAFT_LEVEL_MEM",
-        math.max(8, cores) + "g"))
+      Seq(s"-Xmx${heapGb}g")
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "--frontier-level", cores.toString, sizeName)
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -203,6 +200,18 @@ object Bench {
     drain.setDaemon(true); drain.start()
     val out = new String(proc.getInputStream.readAllBytes)
     proc.waitFor()
+    out
+  }
+
+  /** One level in a fresh JVM; heap scales with the level's core count
+    * (1 GiB/core, floor 8) the way aggregate memory scales with executor
+    * count on a real N→4N cluster — a FIXED heap makes the 4N level
+    * GC-thrash (measured: the 32-core crawl took 3× the 8-core time in a
+    * shared 8g heap). Returns (crawlUrls, crawlSecs, kernelUrls, kernelSecs). */
+  private def forkLevel(cores: Int, sizeName: String): (Long, Double, Long, Double) = {
+    val heap = sys.env.get("SPARK_GRAFT_LEVEL_MEM")
+      .map(_.stripSuffix("g").toInt).getOrElse(math.max(8, cores))
+    val out = forkJava(heap, Seq("--frontier-level", cores.toString, sizeName))
     val m = ("""GRAFT_LEVEL_RESULT \{"cores":\d+,"urls":(\d+),"secs":([0-9.E-]+),""" +
       """"kernel_urls":(\d+),"kernel_secs":([0-9.E-]+)\}""").r
       .findFirstMatchIn(out)
@@ -210,21 +219,9 @@ object Bench {
     (m.group(1).toLong, m.group(2).toDouble, m.group(3).toLong, m.group(4).toDouble)
   }
 
-  def main(args: Array[String]): Unit = {
-    if (args.length >= 2 && args(0) == "--frontier-level") {
-      frontierLevelMain(args(1).toInt, if (args.length >= 3) args(2) else "fast")
-      return
-    }
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-
-    // ---- 1. operator-query timings at sfDir --------------------------------
-    // heavy candidate-pair queries (d2/d3/d4) are verified at sf0.01 by the
-    // correctness gate; at bench SF they are included too — they are the
-    // dedup workload this engine exists for.
-    // SPARK_GRAFT_BENCH_MODE=frontier skips the operator-query phase
-    // (local iteration on the scaling number)
-    val frontierOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("frontier")
+  /** Operator-query phase in its OWN JVM: times each catalog query at sfDir
+    * and prints one GRAFT_QUERIES_RESULT line for the orchestrator. */
+  private def queriesMain(sfDir: String, cpus: Int): Unit = {
     val skip = Set("fr_crawl_log", "fr_seen_set", "fr_lineage_metrics")
     val spark = session(cpus)
     // warm up session (codegen, parquet footer cache, JIT) so the first
@@ -235,8 +232,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = try {
-      (if (frontierOnly) Seq.empty
-       else SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))).map {
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -248,6 +244,37 @@ object Bench {
           name -> secs
       }
     } finally spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(s"GRAFT_QUERIES_RESULT $qs")
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 2 && args(0) == "--frontier-level") {
+      frontierLevelMain(args(1).toInt, if (args.length >= 3) args(2) else "fast")
+      return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    if (args.length >= 1 && args(0) == "--queries") { queriesMain(sfDir, cpus); return }
+
+    // ---- 1. operator-query timings at sfDir, in a forked JVM ---------------
+    // heavy candidate-pair queries (d2/d3/d4) are verified at sf0.01 by the
+    // correctness gate; at bench SF they are included too — they are the
+    // dedup workload this engine exists for.
+    // SPARK_GRAFT_BENCH_MODE=frontier skips the operator-query phase
+    // (local iteration on the scaling number)
+    val frontierOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("frontier")
+    val results: Seq[(String, Double)] =
+      if (frontierOnly) Seq.empty
+      else {
+        val out = forkJava(64, Seq("--queries"))
+        """GRAFT_QUERIES_RESULT \{([^}]*)\}""".r.findFirstMatchIn(out) match {
+          case Some(m) =>
+            """"([^"]+)":([0-9.E-]+)""".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toSeq
+          case None => throw new IllegalStateException(s"query phase produced no result: $out")
+        }
+      }
 
     // ---- 2. frontier throughput at N and 4N cores, one fresh JVM each ------
     // per-round work scales with hosts×budget (links exploded, canonicalized,

@@ -146,6 +146,31 @@ object MiscQueries {
         .orderBy($"event_id")
     }),
 
+    // T3: per-record bad-records channel (the reference tolerates malformed
+    // lines and counts them instead of failing the run:
+    // MetadatafileGeneratorRunnable.java:479-516 dedupEntriesFound/Failed;
+    // adaptLine == null → "Line ignored"). Malformed rows are QUARANTINED
+    // via try_cast-null detection — skip-and-count, never fail-stop.
+    "t5_bad_records" -> ((s, dir) => {
+      import s.implicits._
+      val line = when($"o_orderkey" % 37 === 0,
+          concat(lit("CORRUPT|"), $"o_orderkey"))           // unparseable
+        .when($"o_orderkey" % 41 === 0,
+          concat($"o_orderkey", lit(" notanumber ok")))     // bad field type
+        .otherwise(concat_ws(" ", $"o_orderkey", $"o_orderkey" % 997, lit("ok")))
+      val f = split(line, " ")
+      val offset = expr("try_cast(element_at(f, 2) AS BIGINT)")
+      t(s, dir, "orders")
+        .withColumn("f", f)
+        .withColumn("parsed", when(size($"f") >= 3, offset).otherwise(lit(null)))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"parsed".isNotNull, 1L).otherwise(0L)).as("n_ok"),
+          sum(when($"parsed".isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(coalesce($"parsed", lit(0L))).as("sum_offsets"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // F13: case-insensitive header lookup over a headers map
     // (scanHeadersLC:329-353) — map_filter + lower on keys
     "f13_header_scan" -> ((s, dir) => {
@@ -217,6 +242,22 @@ object MiscQueries {
         |       CAST(CAST(a[8] AS BIGINT) + 4096 AS VARCHAR) || ' ' ||
         |       a[9] || '.gz' || ' ' || a[10] AS patched_line
         |FROM f ORDER BY o_orderkey""".stripMargin,
+    "t5_bad_records" ->
+      """WITH l AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 37 = 0 THEN 'CORRUPT|' || o_orderkey
+        |       WHEN o_orderkey % 41 = 0 THEN o_orderkey || ' notanumber ok'
+        |       ELSE o_orderkey || ' ' || CAST(o_orderkey % 997 AS VARCHAR) || ' ok'
+        |  END AS line FROM orders),
+        |p AS (SELECT o_orderpriority,
+        |  CASE WHEN len(string_split(line,' ')) >= 3
+        |       THEN TRY_CAST(string_split(line,' ')[2] AS BIGINT)
+        |       ELSE NULL END AS parsed FROM l)
+        |SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |       CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |       CAST(sum(coalesce(parsed, 0)) AS BIGINT) AS sum_offsets
+        |FROM p GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s9_cdx_header" ->
       """WITH l AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 'CDX A b m V S g'
