@@ -20,5 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("resolve_url"),
       new ExpressionInfo(classOf[ResolveUrl].getName, "resolve_url"),
       (args: Seq[Expression]) => ResolveUrl(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("robots_allows"),
+      new ExpressionInfo(classOf[RobotsAllows].getName, "robots_allows"),
+      (args: Seq[Expression]) => RobotsAllows(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("crawl_delay"),
+      new ExpressionInfo(classOf[CrawlDelay].getName, "crawl_delay"),
+      (args: Seq[Expression]) => CrawlDelay(args.head)))
   }
 }

@@ -45,5 +45,9 @@ object bridge {
       args => graft.functions.UrlHost(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url",
       args => graft.functions.ResolveUrl(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("robots_allows",
+      args => graft.functions.RobotsAllows(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("crawl_delay",
+      args => graft.functions.CrawlDelay(args.head), "scala_udf")
   }
 }
