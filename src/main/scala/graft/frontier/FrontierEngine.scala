@@ -25,6 +25,7 @@ case class EngineConfig(
     hostShards: Int = 8,         // host_next partition count (hash on host)
     compactEvery: Int = 16,      // rewrite the full pending frontier every K rounds
     useHeapScheduler: Boolean = false,
+    useJoinGate: Boolean = false, // robots via broadcast rules TABLE (vs native expr)
     broadcastScheduleLimit: Long = 2000000)
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
@@ -329,13 +330,29 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("is_new", lit(true))
 
     // ---- robots gate (blocked URLs enter seen, never the frontier) --------
-    // native codegen'd expressions; the rule source is pluggable
-    // (GateExprHelper) — a production robots store swaps in behind the
-    // same expression shape.
-    val gated = maybeSeen.unionByName(provablyNew)
+    // Two equality-tested implementations:
+    //   default — native codegen'd `robots_allows` expression (rule source
+    //   pluggable behind GateExprHelper);
+    //   useJoinGate — robots rules as DATA: a per-host rules table
+    //   (host → disallow_prefix) broadcast-joined to the candidates, the
+    //   shape a production robots store needs (rules fetched/refreshed
+    //   independently, joined by host; the gate predicate itself stays
+    //   codegen'd column ops). Rules here derive from the candidates' own
+    //   distinct hosts; a real deployment reads the robots store table.
+    val gatedBase = maybeSeen.unionByName(provablyNew)
       .withColumn("host", url_host($"canon"))
       .withColumn("path", regexp_replace($"canon", "^https?://[^/]*", ""))
-      .withColumn("allowed", robots_allows($"host", $"path"))
+    val gated =
+      if (!cfg.useJoinGate) gatedBase.withColumn("allowed", robots_allows($"host", $"path"))
+      else {
+        val rules = gatedBase.select($"host").distinct().as[String]
+          .map(h => (h, DocSynth.disallowPrefix(h)))
+          .toDF("host", "disallow_prefix")
+        gatedBase.join(broadcast(rules), Seq("host"), "left")
+          .withColumn("allowed",
+            $"disallow_prefix".isNull || !$"path".startsWith($"disallow_prefix"))
+          .drop("disallow_prefix")
+      }
     // TWO metrics jobs for the whole round (was four count() actions in
     // round 1): the schedule count (which materializes the schedule cache
     // for everything downstream) and one flag-sum aggregation over the

@@ -125,11 +125,19 @@ object DocSynth extends Serializable {
   /** Robots rules: hosts h % 4 == 1 disallow the /private/ subtree.
     * (Reference analog: blacklist gating, Util.getFilteredList:144-150 +
     * robots-flag parsing, CDXRecordExtractorOutput.parseRobotInstructions:474-494.)
+    * Exposed BOTH as a predicate (native-expression gate) and as per-host
+    * rule DATA (`disallowPrefix`, the broadcast-rules-table gate) — the two
+    * engine gate modes must agree by construction.
     */
   def robotsAllows(host: String, path: String): Boolean = {
-    val h = hostIdx(host)
-    !(h % 4 == 1 && path.startsWith("/private/"))
+    val p = disallowPrefix(host)
+    p == null || !path.startsWith(p)
   }
+
+  /** The host's disallowed path prefix, or null if everything is allowed —
+    * one row of a robots store keyed by host. */
+  def disallowPrefix(host: String): String =
+    if (math.floorMod(hostIdx(host), 4) == 1) "/private/" else null
   def hostIdx(host: String): Int = {
     val dash = host.indexOf('-'); val dot = host.indexOf('.')
     if (dash < 0 || dot < 0) -1

@@ -90,6 +90,22 @@ class FrontierEqualitySpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("broadcast-rules-table robots gate (useJoinGate) ≡ oracle") {
+    val store = freshStore()
+    val engine = new FrontierEngine(spark, store,
+      EngineConfig(perHostBudget = budget, useJoinGate = true))
+    val docs = DocSynth.docs(spark, cfg).toDF().cache()
+    engine.run(docs, DocSynth.seeds(cfg), 5)
+    val sparkLog = engine.crawlLog()
+      .select($"round", $"fetchTime", $"host", $"canon", $"depth", $"seq", $"status")
+      .as[(Int, Long, String, String, Int, Long, Int)].collect().toVector
+    val o = OracleCrawler.crawl(DocSynth.localDocs(cfg), DocSynth.seeds(cfg), budget, 5)
+    assert(sparkLog === o.log.map(e =>
+      (e.round, e.fetchTime, e.host, e.canon, e.depth, e.seq, e.status)))
+    assert(engine.seenSet().select($"canon").as[String].collect().toSet === o.seen)
+    docs.unpersist()
+  }
+
   test("robots gating: no /private/ URL of a disallowing host is ever fetched") {
     val store = freshStore()
     val engine = new FrontierEngine(spark, store, EngineConfig(perHostBudget = budget))
