@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach the DRIVER'S stdout unwrapped: sbt's default
+// LoggedOutput prefixes every child line with "[info] ", which made the
+// bench result line unparseable two rounds running (BENCH_r0{1,2}.json
+// "parsed": null). StdoutOutput inherits sbt's own stdio instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -289,8 +289,16 @@ object Bench {
 
     def printLine(frontier: Option[String]): Unit = {
       val fr = frontier.map(f => s""","frontier":$f""").getOrElse("")
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$fr}""")
+      val line =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$fr}"""
+      println(line)
       System.out.flush()
+      // file-artifact fallback: two rounds of evidence were lost to stdout
+      // formatting, so the latest result line ALSO lands on disk
+      try {
+        new java.io.File("BENCH").mkdirs()
+        Files.writeString(java.nio.file.Paths.get("BENCH/RESULT.json"), line + "\n")
+      } catch { case _: Throwable => }
     }
     printLine(None) // operator-phase evidence lands immediately
 

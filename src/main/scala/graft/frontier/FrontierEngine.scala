@@ -136,6 +136,24 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .map(row => row.getLong(0).toInt -> row.getAs[Array[Byte]]("bf"))
       .toMap
 
+  /** Merge per-shard delta blobs into the prior shard blobs (shard-local
+    * merges; absent sides pass through). */
+  private def mergeShardBlobs(prior: Array[Option[Array[Byte]]],
+                              deltas: Map[Int, Array[Byte]]): Map[String, Array[Byte]] =
+    (0 until cfg.seenShards).flatMap { k =>
+      (prior(k), deltas.get(k)) match {
+        case (Some(old), Some(delta)) =>
+          val merged = BloomFilter.readFrom(old)
+          merged.mergeInPlace(BloomFilter.readFrom(delta))
+          val bos = new java.io.ByteArrayOutputStream()
+          merged.writeTo(bos)
+          Some(bloomBlobName(k) -> bos.toByteArray)
+        case (None, Some(delta)) => Some(bloomBlobName(k) -> delta)
+        case (Some(old), None) => Some(bloomBlobName(k) -> old)
+        case (None, None) => None
+      }
+    }.toMap
+
   /** Deserialize the shard blobs into one broadcast-ready array (null slot
     * = shard has no filter yet = contains nothing). */
   private def deserializeBlooms(blobs: Array[Option[Array[Byte]]]): Array[BloomFilter] =
@@ -151,11 +169,21 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * full-corpus pass (~3% of corpus bytes thereafter). */
   private def linkGraph(docs: DataFrame): DataFrame = {
     val path = s"${store.root}/links"
-    if (!new java.io.File(path).exists) {
+    // crash-safe like every other persisted artifact: write to a temp dir,
+    // rename into place atomically. A bare existence check trusted a
+    // partial dir left by a crash mid-write — a resumed crawl would then
+    // silently read an incomplete link graph (resume ≡ continue invariant).
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      val tmp = s"${store.root}/.links.tmp"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       docs.select($"doc_id",
           transform(filter($"spans", sp => sp("kind") === "link"),
             sp => sp("media_ref")).as("links"))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     spark.read.parquet(path)
   }
@@ -367,7 +395,9 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val nNew = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     val blockedCount = if (counts.isNullAt(2)) 0L else counts.getLong(2)
     if (nScheduled == 0) {
-      scheduled.unpersist(); fetched.unpersist(); links.unpersist(); return 0
+      scheduled.unpersist(); fetched.unpersist(); links.unpersist()
+      bloomsBc.destroy() // drained-frontier path must not leak the broadcast
+      return 0
     }
 
     // ---- deterministic seq assignment: global canon order without a
@@ -436,7 +466,19 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val bloomFut: Future[(Map[String, Array[Byte]], Long)] = Future {
       timed("bloom") {
         if (nNew + blockedCount == 0) (Map.empty[String, Array[Byte]], capPerShard)
-        else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
+        else if (capPerShard >= 4000000L) {
+          // the per-shard 4M-item/67108864-bit clamp (mirroring
+          // BloomFilterAggregate's SQLConf caps) already binds: a rebuild
+          // would rescan the full seen set yet produce byte-identically
+          // sized filters. Skip it, keep merging deltas, and tell the
+          // operator the fix is more shards, not more capacity.
+          if (newSeenTotal > capPerShard * cfg.seenShards / 2)
+            System.err.println(s"[frontier] WARN seen_total=$newSeenTotal exceeds " +
+              s"clamped bloom capacity (${cfg.seenShards} shards x $capPerShard); " +
+              "fpp degrades — raise seenShards")
+          val deltas = aggBlooms(gated.filter($"is_new").select($"canon"), capPerShard)
+          (mergeShardBlobs(blooms, deltas), capPerShard)
+        } else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
           var cap = capPerShard
           while (newSeenTotal > cap * cfg.seenShards / 2) cap *= 4
           val full = seenSet(Some(r - 1)).select($"canon")
@@ -446,20 +488,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           (rebuilt, cap)
         } else {
           val deltas = aggBlooms(gated.filter($"is_new").select($"canon"), capPerShard)
-          val out = (0 until cfg.seenShards).flatMap { k =>
-            (blooms(k), deltas.get(k)) match {
-              case (Some(old), Some(delta)) =>
-                val merged = BloomFilter.readFrom(old)
-                merged.mergeInPlace(BloomFilter.readFrom(delta))
-                val bos = new java.io.ByteArrayOutputStream()
-                merged.writeTo(bos)
-                Some(bloomBlobName(k) -> bos.toByteArray)
-              case (None, Some(delta)) => Some(bloomBlobName(k) -> delta)
-              case (Some(old), None) => Some(bloomBlobName(k) -> old)
-              case (None, None) => None
-            }
-          }.toMap
-          (out, capPerShard)
+          (mergeShardBlobs(blooms, deltas), capPerShard)
         }
       }
     }
