@@ -53,22 +53,55 @@ object UrlCanon extends Serializable {
     lower.substring(0, schemeLen) + auth + pathQuery
   }
 
+  /** Percent-encode every byte outside printable ASCII (0x21..0x7E) as the
+    * %XX of its UTF-8 encoding. This is the ASCII boundary of the frontier:
+    * the reference runs every resolved URL through UURIFactory-style ASCII
+    * escaping (CDXRecordExtractorOutput.resolve:312-327), and the engine's
+    * crawl-order determinism relies on ASCII-only canon strings (UTF-16
+    * sort == UTF-8 byte sort only on ASCII). Idempotent on its own output
+    * (which is pure printable ASCII; '%' is left alone, so pre-escaped
+    * input passes through unchanged). Surrogate pairs are handled by
+    * encoding the WHOLE string to UTF-8 first, never char-by-char.
+    */
+  def asciiEscape(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c <= ' ' || c > '~') clean = false
+      i += 1
+    }
+    if (clean) return s
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder(bytes.length + 8)
+    bytes.foreach { b =>
+      val ub = b & 0xff
+      if (ub > 0x20 && ub <= 0x7e) out.append(ub.toChar)
+      else out.append(f"%%$ub%02X")
+    }
+    out.toString
+  }
+
   /** Resolve a possibly-relative link against its page URL
     * (reference: CDXRecordExtractorOutput.resolve:312-327 — Location/
-    * meta-refresh targets resolved against the record URL). Returns null
-    * for unresolvable garbage, which callers drop.
+    * meta-refresh targets resolved against the record URL, then
+    * ASCII-escaped). Returns null for unresolvable garbage, which callers
+    * drop; never returns a non-ASCII string (see asciiEscape).
     */
   def resolve(base: String, ref: String): String = {
     if (ref == null || ref.isEmpty) return null
     val r = ref.trim
     val lower = r.toLowerCase
-    if (lower.startsWith("http://") || lower.startsWith("https://")) return r
+    if (lower.startsWith("http://") || lower.startsWith("https://"))
+      return asciiEscape(r)
     if (lower.contains(":") && !lower.startsWith("/") && !lower.startsWith(".")) {
       // non-http scheme (mailto:, dns:, javascript:) — not crawlable
       return null
     }
     try {
-      val resolved = new URI(base).resolve(r).toString
+      // escape BEFORE java.net.URI sees it: URI rejects raw spaces/non-ASCII
+      // that real hrefs carry, and the reference escapes rather than drops
+      val resolved = new URI(asciiEscape(base)).resolve(asciiEscape(r)).toString
       val l = resolved.toLowerCase
       if (l.startsWith("http://") || l.startsWith("https://")) resolved else null
     } catch { case _: Exception => null }
@@ -108,4 +141,15 @@ object UrlCanon extends Serializable {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(canon),
       org.apache.spark.sql.types.StringType, 42L)
+
+  /** Fixed fan-out of the discovery-seq assignment — part of the crawl
+    * SPEC, shared by the Spark engine and the oracle: within a round, new
+    * URLs are numbered in (seqShard(canon), canon) order. A FIXED constant
+    * (not a tuning knob) so crawl order never depends on cluster or shard
+    * configuration; hash-distributed so the engine can number each shard
+    * independently from per-shard counts with no global sort.
+    */
+  val SeqShards = 64
+  def seqShard(canon: String): Int =
+    java.lang.Math.floorMod(urlKey64(canon), SeqShards.toLong).toInt
 }

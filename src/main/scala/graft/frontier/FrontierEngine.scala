@@ -3,7 +3,7 @@ package graft.frontier
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -19,73 +19,94 @@ import graft.snapshots.SnapshotStore
 case class EngineConfig(
     perHostBudget: Int = 4,      // max fetches per host per round (politeness)
     saltBuckets: Int = 8,        // per-host salting fanout for the schedule window
-    seenShards: Int = 32,        // seen-set shard count (≫ executors at scale)
+    seenShards: Int = 32,        // seen-set bucket/bloom-shard count (≫ executors at scale)
     bloomCapacity: Long = 1L << 22, // TOTAL bloom capacity (items) across shards
     bloomFpp: Double = 0.01,
     hostShards: Int = 8,         // host_next partition count (hash on host)
     compactEvery: Int = 16,      // rewrite the full pending frontier every K rounds
     useHeapScheduler: Boolean = false,
     useJoinGate: Boolean = false, // robots via broadcast rules TABLE (vs native expr)
-    broadcastScheduleLimit: Long = 2000000)
+    broadcastScheduleLimit: Long = 2000000,
+    broadcastHostLimit: Long = 2000000) // host_next rows above this ⇒ shuffled join
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
   *
-  * Each round is one declarative DataFrame job:
-  *   read snapshot r-1 → schedule (per-host top-B by (depth,seq), salted
-  *   two-phase window) → "fetch" (broadcast-join the small schedule against
-  *   the huge doc table) → extract links (explode spans) → resolve+canonicalize
-  *   (native Catalyst expressions) → bloom-prune (per-shard native
-  *   `might_contain`) → EXACT left-join vs the append-only seen shards →
-  *   robots gate (native expression) → assign discovery seqs (range sort +
-  *   zipWithIndex, no single-partition window) → commit snapshot r.
+  * Each round is TWO Spark job waves:
+  *   wave 1 — ONE metrics action: read snapshot r-1 → schedule (per-host
+  *   top-B by (depth,seq), salted two-phase window) → "fetch" (join the
+  *   small schedule against the once-per-crawl link graph) → extract +
+  *   resolve + canonicalize links (native Catalyst expressions) →
+  *   bloom-prune (per-shard `bloom_probe`) → EXACT LEFT-ANTI join vs the
+  *   BUCKETED seen table → robots gate → one per-seqshard aggregation
+  *   (schedule + candidate counts ride the same job as `observe` metrics);
+  *   wave 2 — the commit: frontier/host_next/crawl_log/lineage table
+  *   writes, the seen-table append, and the bloom sidecar update all run
+  *   CONCURRENTLY, then the atomic metadata publish.
   *
   * Determinism (SURVEY.md §7.5 #1): all ordering is on logical keys —
   * (depth, seq) for scheduling, i*crawlDelay(host) logical ticks for fetch
-  * times, canon-sorted seq assignment for discoveries. No wall clock, no
-  * partition-iteration order, anywhere. A killed run resumes from the last
-  * committed snapshot through the SAME code path as an uninterrupted run
-  * (every round starts by reading snapshot r-1 from storage, which also
-  * truncates query lineage — state lives in tables, not cached RDD chains).
+  * times, (seqShard, canon)-sorted seq assignment for discoveries (a FIXED
+  * 64-way spec constant shared with the oracle, UrlCanon.SeqShards). No
+  * wall clock, no partition-iteration order, anywhere. A killed run resumes
+  * from the last committed snapshot through the SAME code path as an
+  * uninterrupted run (every round starts by reading snapshot r-1 from
+  * storage, which also truncates query lineage — state lives in tables,
+  * not cached RDD chains).
   *
   * Scale design (10^10 URLs, 100 TB docs):
-  *   - seen set is APPEND-ONLY: each round commits only `seen_delta`,
-  *     hash-sharded by xxhash64(canon) and sorted within shards (the
-  *     reference's trilong sorted-array layout, TriLongListMap.java:10-19);
-  *     dedup reads the union of deltas via one glob scan + left join.
-  *   - the FRONTIER is append-only too: each round commits only the round's
+  *   - the seen set is a BUCKETED append-only table (SeenTable): the
+  *     exact-dedup join is storage-partitioned — the seen side scans in
+  *     place with its bucketing metadata (HashPartitioning(canon, shards))
+  *     and ONLY the bloom-pruned candidate side shuffles: per-round dedup
+  *     shuffle volume is O(candidates), never O(seen). The join is a LEFT
+  *     ANTI (dup-safe against crash-retry appends) built on the seen side
+  *     per bucket (SHUFFLE_HASH hint — no per-round re-sort of the seen
+  *     set, which multi-file buckets would otherwise force under SMJ).
+  *   - the FRONTIER is append-only: each round commits only the round's
   *     discoveries; the pending set is (adds since the last compaction
   *     base) anti-join (crawl_log since the base). Per-round commit I/O is
-  *     O(new URLs), not O(|frontier|) — at a 10^10-URL frontier the full
-  *     rewrite was the round's dominant cost. Every `compactEvery` rounds
-  *     one compaction rewrites the pending set so the read union stays
-  *     bounded (classic LSM shape: O(n) amortized writes, bounded reads).
-  *   - the bloom filter is PER-SEEN-SHARD (one sidecar blob per shard,
-  *     capacity scaling with the seen count): no false negatives ⇒
-  *     !might_contain rows are PROVABLY new and skip the exact check's
-  *     shuffle; might_contain rows get the exact decision (reference
-  *     analog: negative cache, IFileLoaderImpl.java:21-29). Filters are
-  *     built/updated by a distributed `BloomFilterAggregate` per shard
-  *     (never a driver-side scan) and probed by the codegen'd broadcast
-  *     `BloomProbe` expression — no ScalaUDF on the hottest stream.
-  *     When the seen count outgrows capacity/2 the shards are rebuilt at
-  *     4× capacity from the (sharded) seen set — O(log n) rebuilds over a
-  *     crawl's lifetime, amortized O(n log n) total work. Capacity math at
-  *     10^10 URLs: 32k shards × 4M items/shard ≥ 1.3×10^11 capacity, each
-  *     shard blob ≈ 4.8 MB at fpp 0.01 — read/merged per shard, never
-  *     centralized in one filter (a single 4M-capacity filter saturates at
-  *     fpp→1 and silently degrades to dead weight).
+  *     O(new URLs), not O(|frontier|). Every `compactEvery` rounds one
+  *     compaction rewrites the pending set so the read union stays bounded
+  *     (classic LSM shape: O(n) amortized writes, bounded reads).
+  *   - the bloom filter is PER-SEEN-SHARD (one sidecar blob per shard):
+  *     no false negatives ⇒ !might_contain rows are PROVABLY new and skip
+  *     the exact join entirely; might_contain rows get the exact decision
+  *     (reference analog: negative cache, IFileLoaderImpl.java:21-29).
+  *     Each round's delta filters are built by one distributed
+  *     `BloomFilterAggregate` and every touched shard's sidecar is
+  *     merged-with-prior and WRITTEN FROM THE TASK that aggregated it —
+  *     the driver learns only the written shard ids (O(shards) ints), so
+  *     no filter bytes ever flow through the driver (at 32k shards ×
+  *     4.8 MB a driver-side merge loop would move ~150 GB per rebuild).
+  *     Untouched shards are carried forward by REFERENCE: readers walk
+  *     back to each shard's latest committed blob version instead of the
+  *     round rewriting every sidecar. Probes ride the codegen'd broadcast
+  *     `BloomProbe` expression — never a bloom-as-literal, never a
+  *     ScalaUDF. When the seen count outgrows capacity/2 the shards are
+  *     rebuilt at 4× capacity from the seen table — O(log n) rebuilds over
+  *     a crawl's lifetime — until the per-shard clamp (4M items, matching
+  *     BloomFilterAggregate's SQLConf cap) binds, at which point rebuilds
+  *     stop and the fix is more shards (warned).
   *   - per-host skew (hot hosts with 10^7 pending URLs) is salted: phase 1
   *     takes top-B per (host, salt) — cutting a hot host to saltBuckets*B
   *     rows — before the exact per-host top-B window in phase 2.
   *   - the corpus is projected ONCE PER CRAWL to a (doc_id, links) link
   *     graph; per-round fetch joins broadcast the schedule (≤ hosts*B
-  *     rows) against that slim table — never the 100 TB doc table, and
-  *     never a per-round re-decode of the interleaved span structs.
-  *   - TWO metrics actions per round (schedule count + one flag-sum agg
-  *     over the candidate set) instead of one count() action per metric,
-  *     and the snapshot tables + bloom delta all write CONCURRENTLY:
-  *     per-round fixed job latency is the Amdahl term that kills strong
-  *     scaling at small webs.
+  *     rows) against that slim table — never the 100 TB doc table. Both
+  *     the schedule and the host_next joins are ADAPTIVE: they broadcast
+  *     only below a size bound known from the PREVIOUS round's committed
+  *     metrics (exact — no extra count job), and degrade to shuffled
+  *     joins past it (a 10^8-row host_next must never be collected to the
+  *     driver).
+  *   - per-round serial Spark actions are the crawl's Amdahl term (the
+  *     fixed per-job latency is identical at every cluster size): the
+  *     round runs exactly ONE collect-style action (the 64-row per-shard
+  *     metrics agg; schedule/candidate/host counts ride the same job as
+  *     `observe` metrics), discovery seqs are assigned with NO extra jobs
+  *     (per-shard offsets from that same agg + an identity-partitioned
+  *     local sort, replacing range-sample + zipWithIndex's two jobs), and
+  *     the entire commit (5 table writes, seen append, bloom update) runs
+  *     as one concurrent wave.
   */
 class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                      cfg: EngineConfig = EngineConfig()) {
@@ -104,6 +125,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     }
   }
 
+  private val seen = new SeenTable(spark, s"${store.root}/seen_bucketed", cfg.seenShards)
+  // observation names are session-global: disambiguate by store
+  private val obsToken = java.lang.Integer.toHexString(store.root.hashCode)
+
   // ---- bloom plumbing ------------------------------------------------------
   // numBits for a per-shard capacity at cfg.bloomFpp, clamped to the same
   // caps BloomFilterAggregate applies from SQLConf defaults (4M items,
@@ -114,45 +139,60 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     math.min(math.max(bits, 64L), 67108864L)
   }
   private def bloomBlobName(k: Int): String = s"seen.bloom.$k"
-  private def readBlooms(v: Int): Array[Option[Array[Byte]]] =
-    (0 until cfg.seenShards).map { k =>
-      try Some(store.readBlob(v, bloomBlobName(k)))
-      catch { case _: java.nio.file.NoSuchFileException => None }
-    }.toArray
 
-  /** Per-shard serialized blooms of `canons` via one distributed aggregate
-    * (shard k holds keys with pmod(xxhash64(canon), shards) == k). The
-    * repartition puts each shard's keys in ONE partition before the agg, so
+  /** Latest committed blob version per shard at or before v (-1 = none).
+    * Shards untouched by recent rounds are carried forward by reference —
+    * a round only writes the sidecars it changed. */
+  private def blobVersions(v: Int): Array[Int] =
+    Array.tabulate(cfg.seenShards) { k =>
+      var i = v
+      while (i >= 0 && !store.blobExists(i, bloomBlobName(k))) i -= 1
+      i
+    }
+
+  private def readBlooms(vers: Array[Int]): Array[Option[Array[Byte]]] =
+    Array.tabulate(cfg.seenShards) { k =>
+      if (vers(k) < 0) None else Some(store.readBlob(vers(k), bloomBlobName(k)))
+    }
+
+  /** Build per-shard delta filters via ONE distributed aggregate and write
+    * each touched shard's round-r sidecar FROM THE TASK that aggregated it,
+    * merging delta-into-prior executor-side (the prior blob is read inside
+    * the task from shared storage). The driver receives only the written
+    * shard ids. `priorVer(k) = -1` means build fresh (init / rebuild).
+    * The pre-agg repartition puts each shard's keys in ONE partition, so
     * every map task emits exactly one partial buffer — without it each of P
-    * tasks ships up to `shards` serialized filters into the final shuffle
-    * (P × shards × blobSize, hundreds of MB at real capacities). */
-  private def aggBlooms(canons: DataFrame, capPerShard: Long): Map[Int, Array[Byte]] =
+    * tasks ships up to `shards` serialized filters into the final shuffle. */
+  private def writeShardBlooms(canons: DataFrame, capPerShard: Long, r: Int,
+                               priorVer: Array[Int]): Set[Int] = {
+    val st = store
+    val bits = bitsFor(capPerShard)
     canons.select(xxhash64(col("canon")).as("key"))
       .withColumn("shard", pmod(col("key"), lit(cfg.seenShards.toLong)))
       .repartition(cfg.seenShards, col("shard"))
       .groupBy(col("shard"))
-      .agg(bloomAgg(col("key"), capPerShard, bitsFor(capPerShard)).as("bf"))
-      .collect()
-      .map(row => row.getLong(0).toInt -> row.getAs[Array[Byte]]("bf"))
-      .toMap
-
-  /** Merge per-shard delta blobs into the prior shard blobs (shard-local
-    * merges; absent sides pass through). */
-  private def mergeShardBlobs(prior: Array[Option[Array[Byte]]],
-                              deltas: Map[Int, Array[Byte]]): Map[String, Array[Byte]] =
-    (0 until cfg.seenShards).flatMap { k =>
-      (prior(k), deltas.get(k)) match {
-        case (Some(old), Some(delta)) =>
-          val merged = BloomFilter.readFrom(old)
-          merged.mergeInPlace(BloomFilter.readFrom(delta))
-          val bos = new java.io.ByteArrayOutputStream()
-          merged.writeTo(bos)
-          Some(bloomBlobName(k) -> bos.toByteArray)
-        case (None, Some(delta)) => Some(bloomBlobName(k) -> delta)
-        case (Some(old), None) => Some(bloomBlobName(k) -> old)
-        case (None, None) => None
+      .agg(bloomAgg(col("key"), capPerShard, bits).as("bf"))
+      .select(col("shard").cast("int"), col("bf"))
+      .as[(Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (k, delta) =>
+          val name = s"seen.bloom.$k"
+          val pv = priorVer(k)
+          val blob =
+            if (pv < 0) delta
+            else {
+              val merged = BloomFilter.readFrom(st.readBlob(pv, name))
+              merged.mergeInPlace(BloomFilter.readFrom(delta))
+              val bos = new java.io.ByteArrayOutputStream()
+              merged.writeTo(bos)
+              bos.toByteArray
+            }
+          st.writeBlob(r, name, blob)
+          k
+        }
       }
-    }.toMap
+      .collect().toSet
+  }
 
   /** Deserialize the shard blobs into one broadcast-ready array (null slot
     * = shard has no filter yet = contains nothing). */
@@ -188,11 +228,6 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     spark.read.parquet(path)
   }
 
-  private def keyed(df: DataFrame): DataFrame =
-    df.withColumn("key", xxhash64($"canon"))
-      .repartition(cfg.seenShards, pmod($"key", lit(cfg.seenShards)))
-      .sortWithinPartitions("canon")
-
   /** Snapshot v0: canonical, deduped, robots-gated seed frontier. */
   def init(seeds: Seq[String]): Unit = {
     val canonSeeds = seeds.map(UrlCanon.canonicalize).distinct
@@ -201,21 +236,22 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val frontier = canonSeeds.zipWithIndex.map { case (c, i) =>
       (c, UrlCanon.hostOf(c), 0, i.toLong, 0)
     }.toDF("canon", "host", "depth", "seq", "discovered_round")
-    val seen = keyed(canonSeeds.toDF("canon"))
-    val hostNext = frontier.select($"host").distinct()
-      .withColumn("next_time", lit(0L))
+    val hosts = canonSeeds.map(UrlCanon.hostOf).distinct
+    val hostNext = hosts.toDF("host").withColumn("next_time", lit(0L))
     val capPerShard = math.max(16L, cfg.bloomCapacity / cfg.seenShards)
-    val blobs = aggBlooms(canonSeeds.toDF("canon"), capPerShard)
-      .map { case (k, b) => bloomBlobName(k) -> b }
-    store.commit(0,
-      Map("frontier" -> frontier, "seen_delta" -> seen, "host_next" -> hostNext,
+    val manifest = store.writeTables(0,
+      Map("frontier" -> frontier, "host_next" -> hostNext,
           "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
-          "lineage" -> emptyLineage),
+          "lineage" -> emptyLineage))
+    seen.append(canonSeeds.toDF("canon"), 0)
+    writeShardBlooms(canonSeeds.toDF("canon"), capPerShard, 0,
+      Array.fill(cfg.seenShards)(-1))
+    store.publish(0, manifest,
       Map("seq_base" -> canonSeeds.size.toLong,
           "seen_total" -> canonSeeds.size.toLong,
           "bloom_capacity" -> capPerShard,
-          "frontier_base" -> 0L),
-      blobs = blobs)
+          "frontier_base" -> 0L,
+          "hosts_total" -> hosts.size.toLong))
   }
 
   private def emptyLineage: DataFrame =
@@ -223,13 +259,14 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .toDF("round", "host", "scheduled", "fetched_200", "fetched_404",
             "discovered", "deduped", "blocked")
 
-  /** All seen-set shards committed so far (append-only union of deltas). */
+  /** All seen canons committed up to snapshot v (bucketed on canon). */
   def seenSet(upTo: Option[Int] = None): DataFrame = {
     val v = upTo.orElse(store.currentVersion).getOrElse(0)
-    val paths = (0 to v).map(i => s"${store.root}/data/v$i/seen_delta")
-      .filter(p => new java.io.File(p).exists)
-    spark.read.parquet(paths: _*)
+    seen.upTo(v)
   }
+
+  /** The round's exact-dedup build side, exposed for plan tests. */
+  private[graft] def seenJoinable(v: Int): DataFrame = seen.upTo(v)
 
   /** Full crawl log, globally ordered by the deterministic crawl order. */
   def crawlLog(upTo: Option[Int] = None): DataFrame = {
@@ -266,53 +303,56 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       math.max(16L, cfg.bloomCapacity / cfg.seenShards))
     val base = metrics.getOrElse("frontier_base", 0L).toInt
     val consumedTotal = metrics.getOrElse("consumed_total", 0L)
-    if (seqBase - consumedTotal <= 0) return 0 // frontier drained: no job at all
+    val hostsTotal = metrics.getOrElse("hosts_total", 0L)
+    // EXACT pending size from committed metrics: every allowed URL ever
+    // added (seq_base) minus every URL ever scheduled (consumed_total).
+    // pending == 0 ⇔ drained (every pending host schedules ≥1), so the
+    // round runs no job at all on a drained frontier — and downstream
+    // needs no post-count early exit.
+    val pendingCount = seqBase - consumedTotal
+    if (pendingCount <= 0) return 0
     val frontier = pendingFrontier(r - 1, base)
     val hostNext = store.read(spark, "host_next", Some(r - 1))
-    val blooms = readBlooms(r - 1)
+    val priorVer = blobVersions(r - 1)
     // one broadcast per round: filters ship to executors via the block
     // manager, the plan carries only the handle (see BloomProbe scaladoc)
-    val bloomsBc = spark.sparkContext.broadcast(deserializeBlooms(blooms))
+    val bloomsBc = spark.sparkContext.broadcast(deserializeBlooms(readBlooms(priorVer)))
     def mightContain(key: Column): Column =
       graft.functions.bloomfns.bloom_probe(key, bloomsBc, cfg.seenShards)
 
     // ---- politeness schedule: per-host top-B by (depth, seq) --------------
     // Two interchangeable, equality-tested implementations (ScheduleSpec):
     // the declarative salted two-phase window (default), and an explicit
-    // bounded min-heap per host (the north star's "min-heap on
-    // next-fetch-time") via flatMapGroups, O(B) memory per host.
+    // bounded per-host heap (the north star's "min-heap on next-fetch-time")
+    // via flatMapGroups, O(B) memory per host. The host_next join is
+    // adaptive on the committed host count — at 10^8 hosts an unconditional
+    // broadcast would build a multi-GB table on the driver every round.
     val topB =
       if (cfg.useHeapScheduler) Schedulers.heapTopB(frontier, cfg.perHostBudget)
       else Schedulers.windowTopB(frontier, cfg.perHostBudget, cfg.saltBuckets)
+    def maybeBcHosts(df: DataFrame): DataFrame =
+      if (hostsTotal <= cfg.broadcastHostLimit) broadcast(df) else df
+    val schedObs = Observation(s"sched_${obsToken}_r$r")
     val scheduled = topB
-      .join(broadcast(hostNext), Seq("host"), "left")
+      .join(maybeBcHosts(hostNext), Seq("host"), "left")
       .withColumn("next_time", coalesce($"next_time", lit(0L)))
       .withColumn("delay", crawl_delay($"host").cast("long"))
       .withColumn("fetchTime", $"next_time" + ($"rank" - 1) * $"delay")
+      .observe(schedObs, count(lit(1)).as("n"))
       .cache()
 
     // ---- "fetch": join the schedule against the link graph.
     // The 100 TB doc table is scanned EXACTLY ONCE PER CRAWL — the
     // `linkGraph` projection (see its scaladoc) — and each round joins the
-    // schedule against that slim (doc_id, links) table instead of
-    // re-decoding interleaved span structs (measured 75 s/round of nested
-    // parquet decode + HOF filter at the 2M-doc bench web; the link table
-    // cuts the per-round scan to the ~3% of bytes the frontier needs).
-    // The 404 side is derived by anti-joining the schedule against the
-    // small fetched set — never by a second scan. The broadcast is
-    // ADAPTIVE: collecting a multi-million-row schedule through the driver
-    // is a serial Amdahl term, so past broadcastScheduleLimit the join
-    // becomes a plain shuffled join (which parallelizes with the cluster).
+    // schedule against that slim (doc_id, links) table. The 404 side is
+    // derived by anti-joining the schedule against the small fetched set —
+    // never by a second scan. The broadcast is ADAPTIVE on the exact
+    // pending count (collecting a multi-million-row schedule through the
+    // driver is a serial Amdahl term); past broadcastScheduleLimit the
+    // join becomes a plain shuffled join, which parallelizes with the
+    // cluster.
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
-    // broadcast decision from the PREVIOUS round's committed metrics — an
-    // exact count here would cost a whole Spark job of fixed latency before
-    // the round's single metrics aggregation (the decision is a performance
-    // heuristic; correctness is identical either way). The pending-frontier
-    // size is known EXACTLY from the metrics: every allowed URL ever added
-    // (seq_base) minus every URL ever scheduled (consumed_total) — an upper
-    // bound on this round's schedule.
-    val pendingCount = seqBase - consumedTotal
     val small = pendingCount <= cfg.broadcastScheduleLimit
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val docsLinks = linkGraph(docs)
@@ -330,10 +370,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
               $"depth", $"seq", $"status")
 
     // ---- link extraction → canon → min-depth per target -------------------
-    // cached: 4 downstream consumers (metrics agg, seq assignment, seen
-    // delta, bloom delta) re-derive their slices from this 2-column frame —
-    // caching the WIDE gated union instead cost 25 s of columnar build at
-    // the bench web, 7× the uncached recompute of the tail
+    // cached: every downstream consumer re-derives its slice from this
+    // 2-column frame — caching the WIDE gated union instead cost 25 s of
+    // columnar build at the bench web, 7× the uncached recompute of the tail
+    val linksObs = Observation(s"links_${obsToken}_r$r")
     val links = fetched
       .select($"canon".as("doc_id"), $"depth", explode($"links").as("ref"))
       .withColumn("target", resolve_url($"doc_id", $"ref"))
@@ -341,21 +381,22 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .withColumn("canon2", canonicalize_url($"target"))
       .groupBy($"canon2".as("canon"))
       .agg((min($"depth") + 1).as("depth"))
+      .observe(linksObs, count(lit(1)).as("n"))
       .cache()
 
-    // ---- dedup: per-shard bloom fast path + exact check vs seen shards ----
-    // Bloom has no false negatives ⇒ !might_contain rows are PROVABLY new
-    // and skip the shuffle entirely; might_contain rows get the exact
-    // decision via a LEFT join (not an anti-join) so the seen/new verdict
-    // rides along as a FLAG — one downstream aggregation then produces all
-    // the round's metrics in a single job instead of a count() per metric.
+    // ---- dedup: per-shard bloom fast path + exact anti-join vs the
+    // BUCKETED seen table. Bloom has no false negatives ⇒ !might_contain
+    // rows are PROVABLY new and skip the join entirely; might_contain rows
+    // get the exact decision via LEFT ANTI against the storage-partitioned
+    // seen side (only the candidate side shuffles; SHUFFLE_HASH build on
+    // the seen bucket — no per-round re-sort of the seen set). LEFT ANTI
+    // is also dup-safe: duplicate build rows (possible only after a
+    // crash-retry append) cannot duplicate probe rows.
     val withKey = links.withColumn("key", xxhash64($"canon"))
-    val maybeSeen = withKey.filter(mightContain($"key"))
-      .join(seenSet(Some(r - 1)).select($"canon", lit(true).as("seen_hit")),
-        Seq("canon"), "left")
-      .withColumn("is_new", $"seen_hit".isNull).drop("seen_hit")
-    val provablyNew = withKey.filter(!mightContain($"key"))
-      .withColumn("is_new", lit(true))
+    val seenPrev = seen.upTo(r - 1).hint("shuffle_hash")
+    val freshRaw = withKey.filter(mightContain($"key"))
+      .join(seenPrev, Seq("canon"), "left_anti")
+      .unionByName(withKey.filter(!mightContain($"key")))
 
     // ---- robots gate (blocked URLs enter seen, never the frontier) --------
     // Two equality-tested implementations:
@@ -367,7 +408,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     //   independently, joined by host; the gate predicate itself stays
     //   codegen'd column ops). Rules here derive from the candidates' own
     //   distinct hosts; a real deployment reads the robots store table.
-    val gatedBase = maybeSeen.unionByName(provablyNew)
+    val gatedBase = freshRaw
       .withColumn("host", url_host($"canon"))
       .withColumn("path", regexp_replace($"canon", "^https?://[^/]*", ""))
     val gated =
@@ -381,41 +422,66 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             $"disallow_prefix".isNull || !$"path".startsWith($"disallow_prefix"))
           .drop("disallow_prefix")
       }
-    // TWO metrics jobs for the whole round (was four count() actions in
-    // round 1): the schedule count (which materializes the schedule cache
-    // for everything downstream) and one flag-sum aggregation over the
-    // candidate set covering discovered+new+blocked at once. Per-round
-    // serial action latency is the crawl's Amdahl term.
-    val nScheduled = timed("schedule")(scheduled.count())
-    val counts = timed("metrics")(gated.agg(
-      count(lit(1)).as("discovered"),
-      sum(when($"is_new" && $"allowed", 1L).otherwise(0L)).as("nnew"),
-      sum(when($"is_new" && !$"allowed", 1L).otherwise(0L)).as("blocked")).head())
-    val nDiscovered = counts.getLong(0)
-    val nNew = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-    val blockedCount = if (counts.isNullAt(2)) 0L else counts.getLong(2)
-    if (nScheduled == 0) {
-      scheduled.unpersist(); fetched.unpersist(); links.unpersist()
-      bloomsBc.destroy() // drained-frontier path must not leak the broadcast
-      return 0
-    }
-
-    // ---- deterministic seq assignment: global canon order without a
-    // single-partition window — range-partition + sort gives a total order;
-    // zipWithIndex numbers it contiguously. Survives any cluster size.
-    // (The one RDD use in the engine — FORCED: contiguous global numbering
-    // has no shuffle-free Dataset equivalent that avoids a one-task window.)
-    // sortedNew is cached because zipWithIndex reads its parent TWICE (the
-    // ZippedWithIndexRDD constructor runs an eager partition-size job, then
-    // the real pass) — uncached, each pass recomputes the dedup+gate tail.
-    val sortedNew = gated.filter($"is_new" && $"allowed")
-      .select($"canon", $"host", $"depth")
-      .repartitionByRange(cfg.seenShards, $"canon")
-      .sortWithinPartitions($"canon")
+    // fresh = the round's genuinely-new canons (allowed AND blocked — both
+    // enter the seen set), tagged with their seq shard. Cached slim: it
+    // feeds the metrics agg, the seen append, the bloom delta, and the
+    // frontier/lineage writes.
+    val fresh = gated
+      .withColumn("seqshard", pmod(xxhash64($"canon"), lit(UrlCanon.SeqShards.toLong)))
+      .select($"canon", $"host", $"depth", $"allowed", $"seqshard")
       .cache()
-    val newEntries = sortedNew.as[(String, String, Int)].rdd.zipWithIndex()
-      .map { case ((canon, host, depth), idx) => (canon, host, depth, seqBase + idx, r) }
-      .toDF("canon", "host", "depth", "seq", "discovered_round")
+
+    // ---- ONE metrics action for the whole round ---------------------------
+    // The 64-row per-seqshard aggregation is the round's only collect: it
+    // materializes the schedule/fetch/links/fresh caches, fires the
+    // schedule-count and candidate-count observations riding the same job,
+    // and its per-shard new counts are exactly the offsets the seq
+    // assignment needs — replacing round 2's separate count() action,
+    // range-sampling job and zipWithIndex constructor job.
+    val shardRows = timed("metrics") {
+      fresh.groupBy($"seqshard").agg(
+        sum(when($"allowed", 1L).otherwise(0L)).as("nnew"),
+        sum(when(!$"allowed", 1L).otherwise(0L)).as("blocked")).collect()
+    }
+    val newPerShard = new Array[Long](UrlCanon.SeqShards)
+    var blockedCount = 0L
+    shardRows.foreach { row =>
+      val k = row.getLong(0).toInt
+      newPerShard(k) = row.getLong(1)
+      blockedCount += row.getLong(2)
+    }
+    val nNew = newPerShard.sum
+    val nScheduled = schedObs.get("n").asInstanceOf[Long]
+    val nDiscovered = linksObs.get("n").asInstanceOf[Long]
+
+    // ---- deterministic seq assignment with NO extra jobs ------------------
+    // Global order = (seqShard(canon), canon) — a FIXED 64-way hash spec
+    // shared with the oracle (UrlCanon.SeqShards). Shard offsets come from
+    // the metrics agg above; an identity partitioner routes each shard to
+    // its own partition, which sorts locally (one round's slice of one of
+    // 64 shards — bounded) and numbers contiguously from its offset.
+    // (The one RDD use in the engine — FORCED: contiguous global numbering
+    // has no Dataset equivalent that avoids a one-task window or extra
+    // jobs; zipWithIndex's constructor alone costs a full pass.)
+    val offsets = new Array[Long](UrlCanon.SeqShards)
+    var acc = seqBase
+    (0 until UrlCanon.SeqShards).foreach { k => offsets(k) = acc; acc += newPerShard(k) }
+    val newRdd = fresh.filter($"allowed")
+      .select($"seqshard", $"canon", $"host", $"depth")
+      .as[(Long, String, String, Int)].rdd
+      .map { case (s, c, h, d) => (s.toInt, (c, h, d)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = UrlCanon.SeqShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val arr = it.map(_._2).toArray
+        scala.util.Sorting.quickSort(arr)(Ordering.by((t: (String, String, Int)) => t._1))
+        arr.iterator.zipWithIndex.map { case ((c, h, d), i) =>
+          (c, h, d, offsets(pid) + i, r)
+        }
+      }
+    val newEntries = newRdd.toDF("canon", "host", "depth", "seq", "discovered_round")
       .cache()
 
     // ---- state updates -----------------------------------------------------
@@ -428,17 +494,20 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           .unionByName(newEntries)
       else newEntries
     val newBase = if (isCompaction) r.toLong else base.toLong
-    val seenDelta = keyed(gated.filter($"is_new").select($"canon"))
     val hostAdvance = scheduled.groupBy($"host")
       .agg((max($"rank") * max($"delay")).as("advance"))
+    val hostsObs = Observation(s"hosts_${obsToken}_r$r")
     val hostNextNew = hostNext.join(hostAdvance, Seq("host"), "full_outer")
       .select($"host",
         (coalesce($"next_time", lit(0L)) + coalesce($"advance", lit(0L))).as("next_time"))
+      .observe(hostsObs, count(lit(1)).as("n"))
       // partitioned rewrite — never a coalesce(1) single-task table write
       // (at 10^8 hosts a one-task rewrite is a per-round serial choke)
       .repartition(cfg.hostShards, pmod(xxhash64($"host"), lit(cfg.hostShards)))
 
-    // per-host lineage for this round (north rule: per-partition lineage)
+    // per-host lineage for this round (north rule: per-partition lineage);
+    // written with its natural (AQE-coalesced) partitioning — no
+    // single-task coalesce anywhere in the commit
     val lineage = crawlLogRound.groupBy($"host").agg(
         count(lit(1)).as("scheduled"),
         sum(when($"status" === 200, 1L).otherwise(0L)).as("fetched_200"),
@@ -453,58 +522,58 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
         lit(nDiscovered - nNew - blockedCount).as("deduped"),
         lit(blockedCount).as("blocked"))
 
-    // ---- commit (atomic; see SnapshotStore) --------------------------------
-    // The bloom update runs CONCURRENTLY with the (themselves concurrent)
-    // table writes: per-shard delta filters via one distributed aggregate
-    // over only this round's new canons, merged into the prior shard blobs
-    // driver-side (≤ seenShards tiny merges). On saturation, all shards
-    // rebuild at 4× capacity from the sharded seen set — the capacity
-    // scaling a fixed filter lacks (a saturated bloom has fpp→1: correct,
-    // but every candidate pays the exact-check shuffle).
+    // ---- commit: ONE concurrent wave, then the atomic publish --------------
+    // Table writes, the seen-table append and the bloom sidecar update all
+    // run in parallel (independent jobs over materialized caches); the
+    // metadata rename lands only after every one of them is durable.
     implicit val ec: ExecutionContext = ExecutionContext.global
     val newSeenTotal = seenTotal + nNew + blockedCount
-    val bloomFut: Future[(Map[String, Array[Byte]], Long)] = Future {
+    val bloomFut: Future[Long] = Future {
       timed("bloom") {
-        if (nNew + blockedCount == 0) (Map.empty[String, Array[Byte]], capPerShard)
+        if (nNew + blockedCount == 0) capPerShard
         else if (capPerShard >= 4000000L) {
-          // the per-shard 4M-item/67108864-bit clamp (mirroring
-          // BloomFilterAggregate's SQLConf caps) already binds: a rebuild
-          // would rescan the full seen set yet produce byte-identically
-          // sized filters. Skip it, keep merging deltas, and tell the
-          // operator the fix is more shards, not more capacity.
+          // the per-shard clamp binds: a rebuild would rescan the seen set
+          // for byte-identically sized filters. Keep merging deltas; the
+          // fix is more shards, not more capacity.
           if (newSeenTotal > capPerShard * cfg.seenShards / 2)
             System.err.println(s"[frontier] WARN seen_total=$newSeenTotal exceeds " +
               s"clamped bloom capacity (${cfg.seenShards} shards x $capPerShard); " +
               "fpp degrades — raise seenShards")
-          val deltas = aggBlooms(gated.filter($"is_new").select($"canon"), capPerShard)
-          (mergeShardBlobs(blooms, deltas), capPerShard)
+          writeShardBlooms(fresh.select($"canon"), capPerShard, r, priorVer)
+          capPerShard
         } else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
           var cap = capPerShard
-          while (newSeenTotal > cap * cfg.seenShards / 2) cap *= 4
-          val full = seenSet(Some(r - 1)).select($"canon")
-            .unionByName(gated.filter($"is_new").select($"canon"))
-          val rebuilt = aggBlooms(full, cap)
-            .map { case (k, b) => bloomBlobName(k) -> b }
-          (rebuilt, cap)
+          while (newSeenTotal > cap * cfg.seenShards / 2 && cap < 4000000L) cap *= 4
+          val full = seenSet(Some(r - 1)).unionByName(fresh.select($"canon"))
+          val written = writeShardBlooms(full, cap, r, Array.fill(cfg.seenShards)(-1))
+          // shards the rebuild didn't touch must still advance to the new
+          // sizing, or later delta merges see mismatched bit counts
+          (0 until cfg.seenShards).filterNot(written).foreach { k =>
+            val bf = BloomFilter.create(math.min(cap, 4000000L), bitsFor(cap))
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            store.writeBlob(r, bloomBlobName(k), bos.toByteArray)
+          }
+          cap
         } else {
-          val deltas = aggBlooms(gated.filter($"is_new").select($"canon"), capPerShard)
-          (mergeShardBlobs(blooms, deltas), capPerShard)
+          writeShardBlooms(fresh.select($"canon"), capPerShard, r, priorVer)
+          capPerShard
         }
       }
     }
+    val seenFut: Future[Unit] = Future {
+      timed("seen")(seen.append(fresh.select($"canon"), r))
+    }
     val manifest = timed("commit") {
       store.writeTables(r,
-        Map("frontier" -> frontierOut, "seen_delta" -> seenDelta,
+        Map("frontier" -> frontierOut,
             "host_next" -> hostNextNew,
-            "crawl_log" -> crawlLogRound.coalesce(4),
-            "lineage" -> lineage.coalesce(1)))
+            "crawl_log" -> crawlLogRound,
+            "lineage" -> lineage))
     }
-    val (blobs, capOut) = Await.result(bloomFut, Duration.Inf)
-    val finalBlobs =
-      if (blobs.nonEmpty) blobs
-      else (0 until cfg.seenShards).flatMap(k =>
-        blooms(k).map(b => bloomBlobName(k) -> b)).toMap
-    finalBlobs.foreach { case (n, b) => store.writeBlob(r, n, b) }
+    val capOut = Await.result(bloomFut, Duration.Inf)
+    Await.result(seenFut, Duration.Inf)
+    val hostsTotalNew = hostsObs.get("n").asInstanceOf[Long]
     store.publish(r, manifest,
       Map("seq_base" -> (seqBase + nNew),
           "seen_total" -> newSeenTotal,
@@ -513,9 +582,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "new_frontier" -> nNew, "blocked" -> blockedCount,
           "deduped" -> (nDiscovered - nNew - blockedCount),
           "bloom_capacity" -> capOut,
-          "frontier_base" -> newBase))
+          "frontier_base" -> newBase,
+          "hosts_total" -> hostsTotalNew))
     scheduled.unpersist(); fetched.unpersist()
-    links.unpersist(); sortedNew.unpersist(); newEntries.unpersist()
+    links.unpersist(); fresh.unpersist(); newEntries.unpersist()
     bloomsBc.destroy()
     nScheduled
   }

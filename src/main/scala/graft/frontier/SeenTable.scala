@@ -1,0 +1,82 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The crawl's seen set as a BUCKETED, append-only parquet table — the
+  * storage-partitioned side of the round's exact-dedup join.
+  *
+  * Why a catalog table and not per-round parquet dirs (the round-2 layout):
+  * plain `spark.read.parquet(paths)` carries no partitioning metadata, so
+  * Catalyst re-shuffled BOTH sides of the dedup join every round — at a
+  * 10^10-URL seen set that full-seen-set shuffle per round is the round's
+  * dominant cost. A table `CLUSTERED BY (canon) INTO n BUCKETS` gives the
+  * scan a known `HashPartitioning(canon, n)`, so a join on `canon` leaves
+  * the seen side IN PLACE and shuffles only the (bloom-pruned) candidate
+  * side: shuffle volume O(candidates), not O(seen). Same idea as Iceberg/
+  * Hive storage-partitioned joins; here over the session catalog since the
+  * sandbox ships no Iceberg jars (SURVEY.md §7.1).
+  *
+  * Layout: one table per store root at `<root>/seen_bucketed`, schema
+  * (canon STRING, round INT). Each round appends exactly one file per
+  * bucket (the append repartitions by `canon` with numBuckets partitions,
+  * so every task holds exactly one bucket's rows). Readers filter
+  * `round <= v` — this is also the crash story: an append that landed
+  * before a failed publish carries round r > committed version and is
+  * invisible until round r actually commits; a re-run of round r appends
+  * the same rows again, and the only consumer of committed duplicates is
+  * dup-safe (the dedup join is a LEFT ANTI — duplicate build rows cannot
+  * duplicate output rows).
+  *
+  * Session handling: the catalog entry is per-session state, the files are
+  * the truth. `ensure()` re-registers the external table on resume in a
+  * fresh session. The table name is derived from the root path so several
+  * stores can coexist in one session (tests do this).
+  */
+class SeenTable(spark: SparkSession, location: String, shards: Int) {
+  import spark.implicits._
+
+  val tableName: String = {
+    val h = java.lang.Integer.toHexString(location.hashCode)
+    s"graft_seen_${h}_${location.length}"
+  }
+
+  def exists: Boolean = new java.io.File(s"$location/_created").exists
+
+  /** Register the external bucketed table in THIS session's catalog if the
+    * files exist but the entry doesn't (resume in a fresh session). */
+  def ensure(): Unit = synchronized {
+    if (!spark.catalog.tableExists(tableName) && exists) {
+      spark.sql(
+        s"""CREATE TABLE $tableName (canon STRING, round INT)
+           |USING PARQUET
+           |CLUSTERED BY (canon) SORTED BY (canon) INTO $shards BUCKETS
+           |LOCATION '$location'""".stripMargin)
+    }
+  }
+
+  /** Append one round's new canons (one file per bucket). */
+  def append(canons: DataFrame, round: Int): Unit = {
+    val out = canons.select(col("canon"), lit(round).as("round"))
+      // HashPartitioning(canon, shards) == the bucket function: each task
+      // holds exactly one bucket -> one file per bucket per round
+      .repartition(shards, col("canon"))
+    ensure()
+    val mode = if (spark.catalog.tableExists(tableName)) "append" else "overwrite"
+    out.write.mode(mode).format("parquet")
+      .bucketBy(shards, "canon").sortBy("canon")
+      .option("path", location)
+      .saveAsTable(tableName)
+    // marker AFTER the first successful write: a crash mid-first-append
+    // leaves exists=false and the deterministic re-run recreates cleanly
+    val marker = java.nio.file.Paths.get(location, "_created")
+    if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
+  }
+
+  /** Seen canons as of committed snapshot v, with bucketing metadata intact
+    * (joins on `canon` do not shuffle this side). */
+  def upTo(v: Int): DataFrame = {
+    ensure()
+    spark.table(tableName).filter(col("round") <= v).select(col("canon"))
+  }
+}

@@ -88,9 +88,11 @@ object OracleCrawler {
         val (allowedM, blockedM) = fresh.partition { case (c, _) =>
           DocSynth.robotsAllows(UrlCanon.hostOf(c), UrlCanon.pathOf(c)) }
         blockedM.keys.foreach(seen += _)
-        // seq assignment: canon-sorted (ASCII URLs ⇒ UTF-16 order == UTF-8
-        // byte order used by Spark's string sort)
-        for (c <- allowedM.keys.toSeq.sorted) {
+        // seq assignment: (seqShard, canon)-sorted — the fixed 64-way spec
+        // order (UrlCanon.SeqShards) that lets the engine number each hash
+        // shard independently. ASCII URLs ⇒ UTF-16 order == UTF-8 byte
+        // order, so the canon tiebreak is engine-independent.
+        for (c <- allowedM.keys.toSeq.sortBy(c => (UrlCanon.seqShard(c), c))) {
           seen += c
           queueOf(UrlCanon.hostOf(c)).enqueue((allowedM(c), seqCounter, c))
           seqCounter += 1

@@ -18,13 +18,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * MetadatafileGeneratorRunnable.java:105-110,150-156). The API is shaped
   * so a real Iceberg catalog (commit = CAS on the catalog pointer) drops in.
   *
+  * Every write (table job, blob, publish rename) is wrapped in a bounded
+  * RETRY with backoff — on distributed storage a transient IO error must
+  * not fail the round (reference: Util.writeToFile:118-139 and
+  * PrecompressionRunnable.writeMD5:186-195 both retry 5× with 1000 ms
+  * backoff and treat this as production-essential). All retried operations
+  * are idempotent: table writes are mode=overwrite into an immutable
+  * per-version dir, blob writes re-stage to `.tmp` and atomically rename,
+  * publish re-renames the same content.
+  *
   * Scale note: one snapshot dir per round, each table written with its own
   * partitioning; metadata JSON stays O(tables + partitions), never O(rows).
+  * Blob reads/writes are executor-callable (the store is Serializable and
+  * paths are shared storage): bloom sidecars are written from the tasks
+  * that build them, never through the driver.
   */
-class SnapshotStore(val root: String) extends Serializable {
+class SnapshotStore(val root: String,
+                    val retryAttempts: Int = 5,
+                    val retryBackoffMs: Long = 1000L) extends Serializable {
   private def metaDir: Path = Paths.get(root, "metadata")
   private def dataDir(v: Int, table: String): Path =
     Paths.get(root, "data", s"v$v", table)
+
+  /** Bounded retry with backoff around a transient-failure-prone storage
+    * operation. `op` must be idempotent (all callers here are). */
+  private def withRetry[T](what: String)(op: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e @ (_: java.io.IOException | _: org.apache.spark.SparkException) =>
+          if (attempt >= retryAttempts) throw e
+          System.err.println(s"[snapshot] transient $what failure " +
+            s"(attempt $attempt/$retryAttempts): ${e.getMessage}; " +
+            s"retrying in $retryBackoffMs ms")
+          Thread.sleep(retryBackoffMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Atomic rename, seam for fault-injection in tests. */
+  protected def moveAtomic(src: Path, dst: Path): Unit =
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
 
   def currentVersion: Option[Int] = {
     if (!Files.isDirectory(metaDir)) return None
@@ -51,7 +88,12 @@ class SnapshotStore(val root: String) extends Serializable {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futs = tables.map { case (name, df) =>
       val p = dataDir(v, name)
-      Future { df.write.mode("overwrite").parquet(p.toString); name -> p.toString }
+      Future {
+        withRetry(s"table write $name/v$v") {
+          df.write.mode("overwrite").parquet(p.toString)
+        }
+        name -> p.toString
+      }
     }
     futs.map(Await.result(_, Duration.Inf)).toMap
   }
@@ -72,9 +114,11 @@ class SnapshotStore(val root: String) extends Serializable {
          |  "metrics": {${metrics.map { case (k, n) => s"${jstr(k)}: $n" }.mkString(", ")}},
          |  "props": {${props.map { case (k, s) => s"${jstr(k)}: ${jstr(s)}" }.mkString(", ")}}
          |}""".stripMargin
-    val tmp = metaDir.resolve(s"v$v.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, metaDir.resolve(s"v$v.json"), StandardCopyOption.ATOMIC_MOVE)
+    withRetry(s"publish v$v") {
+      val tmp = metaDir.resolve(s"v$v.json.tmp")
+      Files.writeString(tmp, json)
+      moveAtomic(tmp, metaDir.resolve(s"v$v.json"))
+    }
   }
 
   /** Convenience one-shot commit: parallel table writes + optional blobs,
@@ -102,13 +146,21 @@ class SnapshotStore(val root: String) extends Serializable {
     """"([^"]+)": (-?\d+)""".r.findAllMatchIn(m).map(g => g.group(1) -> g.group(2).toLong).toMap
   }
 
-  /** Write an opaque sidecar blob (e.g. a serialized BloomFilter) tied to v. */
+  /** Write an opaque sidecar blob (e.g. a serialized BloomFilter) tied to v.
+    * Safe to call from executor tasks (tmp name is salted per attempt so
+    * concurrent/retried tasks never collide; the rename is atomic). */
   def writeBlob(v: Int, name: String, bytes: Array[Byte]): Unit = {
-    val dir = Paths.get(root, "blobs", s"v$v"); Files.createDirectories(dir)
-    val tmp = dir.resolve(s"$name.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    val dir = Paths.get(root, "blobs", s"v$v")
+    withRetry(s"blob write $name/v$v") {
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s"$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, bytes)
+      try moveAtomic(tmp, dir.resolve(name))
+      catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
+    }
   }
   def readBlob(v: Int, name: String): Array[Byte] =
     Files.readAllBytes(Paths.get(root, "blobs", s"v$v", name))
+  def blobExists(v: Int, name: String): Boolean =
+    Files.exists(Paths.get(root, "blobs", s"v$v", name))
 }

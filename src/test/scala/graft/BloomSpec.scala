@@ -64,6 +64,41 @@ class BloomSpec extends SparkSuite {
     }
   }
 
+  test("executor-written sidecars: latest committed blobs cover the whole seen set") {
+    // end-to-end over the engine: blobs are written FROM the aggregating
+    // tasks (never collected to the driver) and untouched shards are
+    // carried forward by reference — the walk-back read must still cover
+    // every seen canon with zero false negatives after several rounds of
+    // delta merges
+    import graft.frontier.{EngineConfig, FrontierEngine}
+    import graft.model.DocSynth
+    import graft.snapshots.SnapshotStore
+    val shards = 8
+    val root = java.nio.file.Files.createTempDirectory("bloom-exec").toString
+    val store = new SnapshotStore(root)
+    val engine = new FrontierEngine(spark, store,
+      EngineConfig(perHostBudget = 3, seenShards = shards))
+    val cfg = DocSynth.Config(nHosts = 10, pagesPerHost = 20, hotFactor = 3,
+      linksPerDoc = 5, seed = 7L)
+    val docs = DocSynth.docs(spark, cfg).toDF()
+    engine.run(docs, DocSynth.seeds(cfg), 5)
+    val last = store.currentVersion.get
+    assert(last >= 3, "crawl too short to exercise delta merges")
+    // walk-back: latest committed blob version per shard
+    val latest = Array.tabulate(shards) { k =>
+      (last to 0 by -1).find(v => store.blobExists(v, s"seen.bloom.$k"))
+    }
+    val seen = engine.seenSet().select($"canon").as[String].collect()
+    assert(seen.nonEmpty)
+    seen.foreach { c =>
+      val key = graft.canon.UrlCanon.urlKey64(c)
+      val k = java.lang.Math.floorMod(key, shards.toLong).toInt
+      val bf = latest(k).map(v => BloomFilter.readFrom(store.readBlob(v, s"seen.bloom.$k")))
+      assert(bf.isDefined, s"shard $k has seen canons but no sidecar")
+      assert(bf.get.mightContainLong(key), s"false negative for $c in shard $k")
+    }
+  }
+
   test("null shard slots (no filter yet) probe false — provably-new is exact") {
     val blooms = spark.sparkContext.broadcast(Array.fill[BloomFilter](nShards)(null))
     val n = (0 until 100).map(i => s"u$i").toDF("canon")

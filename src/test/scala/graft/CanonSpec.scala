@@ -77,6 +77,34 @@ class CanonSpec extends AnyFunSuite {
     }
   }
 
+  test("property: resolve never emits a non-ASCII or non-printable character") {
+    // reference CDXRecordExtractorOutput.resolve:312-327 runs every
+    // resolved URL through UURIFactory-style ASCII escaping — the ASCII
+    // boundary the crawl-order determinism depends on (UTF-16 sort ==
+    // UTF-8 byte sort only on ASCII)
+    val base = "http://h.example.org/dir/page"
+    val refs = Seq(
+      "päge", "/café/x", "sp ace", "http://x.org/über?q=ß",
+      "中文/ページ", "emoji/😀", "tab\there",
+      "no%20change", "plain/ascii?q=1")
+    refs.foreach { r =>
+      val out = UrlCanon.resolve(base, r)
+      if (out != null) out.foreach { c =>
+        assert(c > ' ' && c <= '~', s"non-ASCII survived resolve($r) -> $out")
+      }
+    }
+    assert(UrlCanon.resolve(base, "päge") === "http://h.example.org/dir/p%C3%A4ge")
+    assert(UrlCanon.resolve(base, "sp ace") === "http://h.example.org/dir/sp%20ace")
+    assert(UrlCanon.resolve(base, "http://x.org/über") === "http://x.org/%C3%BCber")
+    // surrogate pair encodes as 4-byte UTF-8, never the lone-surrogate '?'
+    assert(UrlCanon.resolve(base, "e/😀") ===
+      "http://h.example.org/dir/e/%F0%9F%98%80")
+    // escaping is idempotent — already-escaped input passes through
+    assert(UrlCanon.asciiEscape(UrlCanon.asciiEscape("a bé")) ===
+      UrlCanon.asciiEscape("a bé"))
+    assert(UrlCanon.asciiEscape("no%20change") === "no%20change")
+  }
+
   test("urlKey64 matches Spark's xxhash64 semantics (stable key)") {
     // pinned value: any change to the key function silently rewires every
     // seen-set shard — fail loudly instead

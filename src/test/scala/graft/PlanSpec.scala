@@ -59,6 +59,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "global window found:\n" + p)
   }
 
+  test("frontier dedup join is storage-partitioned: seen side scans in place") {
+    // the 10^10-seen-set question: the exact-dedup join must shuffle ONLY
+    // the candidate side; the bucketed seen table's scan carries its
+    // HashPartitioning and gets no Exchange (and no per-round Sort)
+    import graft.frontier.{EngineConfig, FrontierEngine}
+    import graft.model.DocSynth
+    import graft.snapshots.SnapshotStore
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("plan-seen").toString
+    val store = new SnapshotStore(root)
+    val engine = new FrontierEngine(spark, store, EngineConfig(perHostBudget = 3))
+    val cfg = DocSynth.Config(nHosts = 8, pagesPerHost = 15, hotFactor = 2,
+      linksPerDoc = 4, seed = 11L)
+    val docs = DocSynth.docs(spark, cfg).toDF()
+    engine.run(docs, DocSynth.seeds(cfg), 3)
+    val last = store.currentVersion.get
+    import spark.implicits._
+    val cand = spark.range(0, 10000)
+      .select(concat(lit("http://host-"), col("id"), lit(".example.org/p/1")).as("canon"))
+    val anti = cand.join(engine.seenJoinable(last).hint("shuffle_hash"),
+      Seq("canon"), "left_anti")
+    anti.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // scope the exchange count to the final plan section
+    val p = anti.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), "seen scan lost its bucketing:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one Exchange (candidate side), got $exchanges:\n$p")
+    assert(!p.contains("Sort "), "seen side re-sorted every round:\n" + p)
+  }
+
   test("frontier gate expressions stay codegen'd (no ScalaUDF in the plan)") {
     import graft.functions.gatefns._
     import graft.functions.urlfns._

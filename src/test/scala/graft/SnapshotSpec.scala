@@ -37,6 +37,37 @@ class SnapshotSpec extends SparkSuite {
     assert(store.read(spark, "t").as[Int].collect() === Array(2))
   }
 
+  test("transient rename failures are retried: publish and blob writes succeed") {
+    // reference Util.writeToFile:118-139 — 5 tries with backoff; here the
+    // injected fault fails the first N atomic renames, then recovers
+    val root = Files.createTempDirectory("snap-retry").toString
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val store = new SnapshotStore(root, retryAttempts = 5, retryBackoffMs = 1L) {
+      override protected def moveAtomic(src: java.nio.file.Path,
+                                        dst: java.nio.file.Path): Unit = {
+        if (failures.getAndDecrement() > 0)
+          throw new java.io.IOException("injected transient failure")
+        super.moveAtomic(src, dst)
+      }
+    }
+    store.writeBlob(0, "b", Array[Byte](9))
+    assert(store.readBlob(0, "b").toSeq === Seq[Byte](9))
+    failures.set(2)
+    store.commit(0, Map("t" -> Seq(1).toDF("x")), Map("n" -> 1L))
+    assert(store.currentVersion === Some(0))
+    assert(store.read(spark, "t").as[Int].collect() === Array(1))
+  }
+
+  test("a persistent storage failure still surfaces after retryAttempts") {
+    val root = Files.createTempDirectory("snap-retry2").toString
+    val store = new SnapshotStore(root, retryAttempts = 3, retryBackoffMs = 1L) {
+      override protected def moveAtomic(src: java.nio.file.Path,
+                                        dst: java.nio.file.Path): Unit =
+        throw new java.io.IOException("storage down")
+    }
+    intercept[java.io.IOException] { store.writeBlob(0, "b", Array[Byte](1)) }
+  }
+
   test("props survive JSON escaping") {
     val root = Files.createTempDirectory("snap-spec3").toString
     val store = new SnapshotStore(root)
