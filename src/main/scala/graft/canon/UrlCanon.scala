@@ -152,4 +152,15 @@ object UrlCanon extends Serializable {
   val SeqShards = 64
   def seqShard(canon: String): Int =
     java.lang.Math.floorMod(urlKey64(canon), SeqShards.toLong).toInt
+
+  /** Murmur3 bucket of a canon string — Spark's HashPartitioning/bucketBy
+    * function (`pmod(hash(canon), n)`, seed 42). Shared so executor-side
+    * bloom builds and tests route to EXACTLY the bucket the bucketed seen
+    * table writer uses. */
+  def bucketOf(canon: String, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(canon),
+      org.apache.spark.sql.types.StringType, 42L).toInt
+    java.lang.Math.floorMod(h, n)
+  }
 }

@@ -68,16 +68,18 @@ case class EngineConfig(
   *     O(new URLs), not O(|frontier|). Every `compactEvery` rounds one
   *     compaction rewrites the pending set so the read union stays bounded
   *     (classic LSM shape: O(n) amortized writes, bounded reads).
-  *   - the bloom filter is PER-SEEN-SHARD (one sidecar blob per shard):
-  *     no false negatives ⇒ !might_contain rows are PROVABLY new and skip
-  *     the exact join entirely; might_contain rows get the exact decision
-  *     (reference analog: negative cache, IFileLoaderImpl.java:21-29).
-  *     Each round's delta filters are built by one distributed
-  *     `BloomFilterAggregate` and every touched shard's sidecar is
-  *     merged-with-prior and WRITTEN FROM THE TASK that aggregated it —
-  *     the driver learns only the written shard ids (O(shards) ints), so
-  *     no filter bytes ever flow through the driver (at 32k shards ×
-  *     4.8 MB a driver-side merge loop would move ~150 GB per rebuild).
+  *   - the bloom filter is PER-SEEN-BUCKET (one sidecar blob per bucket of
+  *     the seen table — shard routing IS the bucket function): no false
+  *     negatives ⇒ !might_contain rows are PROVABLY new and skip the exact
+  *     join entirely; might_contain rows get the exact decision (reference
+  *     analog: negative cache, IFileLoaderImpl.java:21-29). Each round's
+  *     sidecar update rides the SAME bucket repartition as the seen-table
+  *     append (one shared shuffle): every task builds its bucket's filter
+  *     in place, merges the prior blob read inside the task, and writes
+  *     the round-r sidecar FROM THE TASK — the driver learns only the
+  *     written shard ids (O(shards) ints), so no filter bytes ever flow
+  *     through the driver (at 32k shards × 4.8 MB a driver-side merge
+  *     loop would move ~150 GB per rebuild).
   *     Untouched shards are carried forward by REFERENCE: readers walk
   *     back to each shard's latest committed blob version instead of the
   *     round rewriting every sidecar. Probes ride the codegen'd broadcast
@@ -111,7 +113,6 @@ case class EngineConfig(
 class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                      cfg: EngineConfig = EngineConfig()) {
   import spark.implicits._
-  import org.apache.spark.sql.graft.bridge.bloomAgg
 
   def storeRoot: String = store.root
 
@@ -155,40 +156,35 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       if (vers(k) < 0) None else Some(store.readBlob(vers(k), bloomBlobName(k)))
     }
 
-  /** Build per-shard delta filters via ONE distributed aggregate and write
-    * each touched shard's round-r sidecar FROM THE TASK that aggregated it,
-    * merging delta-into-prior executor-side (the prior blob is read inside
-    * the task from shared storage). The driver receives only the written
-    * shard ids. `priorVer(k) = -1` means build fresh (init / rebuild).
-    * The pre-agg repartition puts each shard's keys in ONE partition, so
-    * every map task emits exactly one partial buffer — without it each of P
-    * tasks ships up to `shards` serialized filters into the final shuffle. */
-  private def writeShardBlooms(canons: DataFrame, capPerShard: Long, r: Int,
-                               priorVer: Array[Int]): Set[Int] = {
+  /** Build + write the per-bucket bloom sidecars from a frame ALREADY
+    * hash-partitioned by the seen-table bucket function (partition id ==
+    * bucket id == bloom shard id): each task builds its bucket's delta
+    * filter in place — NO shuffle, NO aggregate — merges it with the prior
+    * blob (read inside the task from shared storage) and writes the
+    * round-r sidecar FROM THE TASK. The driver receives only the written
+    * shard ids (O(shards) ints); no filter bytes ever cross the driver.
+    * `priorVer(k) = -1` means build fresh (init / rebuild). In the delta
+    * path the input is the SAME cached repartition the seen-table append
+    * consumes, so the bloom update costs no shuffle of its own. */
+  private def writeBucketBlooms(byBucket: DataFrame, capPerShard: Long, r: Int,
+                                priorVer: Array[Int]): Set[Int] = {
     val st = store
     val bits = bitsFor(capPerShard)
-    canons.select(xxhash64(col("canon")).as("key"))
-      .withColumn("shard", pmod(col("key"), lit(cfg.seenShards.toLong)))
-      .repartition(cfg.seenShards, col("shard"))
-      .groupBy(col("shard"))
-      .agg(bloomAgg(col("key"), capPerShard, bits).as("bf"))
-      .select(col("shard").cast("int"), col("bf"))
-      .as[(Int, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (k, delta) =>
-          val name = s"seen.bloom.$k"
-          val pv = priorVer(k)
-          val blob =
-            if (pv < 0) delta
-            else {
-              val merged = BloomFilter.readFrom(st.readBlob(pv, name))
-              merged.mergeInPlace(BloomFilter.readFrom(delta))
-              val bos = new java.io.ByteArrayOutputStream()
-              merged.writeTo(bos)
-              bos.toByteArray
-            }
-          st.writeBlob(r, name, blob)
-          k
+    val cap = math.min(capPerShard, 4000000L)
+    byBucket.select(col("canon")).as[String]
+      .rdd.mapPartitionsWithIndex { case (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val name = s"seen.bloom.$pid"
+          val pv = priorVer(pid)
+          val bf =
+            if (pv < 0) BloomFilter.create(cap, bits)
+            else BloomFilter.readFrom(st.readBlob(pv, name))
+          it.foreach(c => bf.putLong(UrlCanon.urlKey64(c)))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          st.writeBlob(r, name, bos.toByteArray)
+          Iterator.single(pid)
         }
       }
       .collect().toSet
@@ -243,9 +239,11 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       Map("frontier" -> frontier, "host_next" -> hostNext,
           "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
           "lineage" -> emptyLineage))
-    seen.append(canonSeeds.toDF("canon"), 0)
-    writeShardBlooms(canonSeeds.toDF("canon"), capPerShard, 0,
-      Array.fill(cfg.seenShards)(-1))
+    val seedBuckets = canonSeeds.toDF("canon")
+      .repartition(cfg.seenShards, $"canon").cache()
+    seen.append(seedBuckets, 0, prePartitioned = true)
+    writeBucketBlooms(seedBuckets, capPerShard, 0, Array.fill(cfg.seenShards)(-1))
+    seedBuckets.unpersist()
     store.publish(0, manifest,
       Map("seq_base" -> canonSeeds.size.toLong,
           "seen_total" -> canonSeeds.size.toLong,
@@ -317,8 +315,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // one broadcast per round: filters ship to executors via the block
     // manager, the plan carries only the handle (see BloomProbe scaladoc)
     val bloomsBc = spark.sparkContext.broadcast(deserializeBlooms(readBlooms(priorVer)))
-    def mightContain(key: Column): Column =
-      graft.functions.bloomfns.bloom_probe(key, bloomsBc, cfg.seenShards)
+    // shard routing = the seen-table BUCKET id (murmur3), key = xxhash64:
+    // bloom shards align 1:1 with the bucketed seen table
+    def mightContain(shard: Column, key: Column): Column =
+      graft.functions.bloomfns.bloom_probe(shard, key, bloomsBc)
 
     // ---- politeness schedule: per-host top-B by (depth, seq) --------------
     // Two interchangeable, equality-tested implementations (ScheduleSpec):
@@ -393,10 +393,11 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // is also dup-safe: duplicate build rows (possible only after a
     // crash-retry append) cannot duplicate probe rows.
     val withKey = links.withColumn("key", xxhash64($"canon"))
+      .withColumn("bshard", pmod(hash($"canon"), lit(cfg.seenShards)))
     val seenPrev = seen.upTo(r - 1).hint("shuffle_hash")
-    val freshRaw = withKey.filter(mightContain($"key"))
+    val freshRaw = withKey.filter(mightContain($"bshard", $"key"))
       .join(seenPrev, Seq("canon"), "left_anti")
-      .unionByName(withKey.filter(!mightContain($"key")))
+      .unionByName(withKey.filter(!mightContain($"bshard", $"key")))
 
     // ---- robots gate (blocked URLs enter seen, never the frontier) --------
     // Two equality-tested implementations:
@@ -528,6 +529,11 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // metadata rename lands only after every one of them is durable.
     implicit val ec: ExecutionContext = ExecutionContext.global
     val newSeenTotal = seenTotal + nNew + blockedCount
+    // ONE shuffle shared by the seen append and the bloom sidecar build:
+    // both consume this bucket-partitioned cache (partition id == bucket id
+    // == bloom shard id), so the bloom update costs no shuffle of its own
+    val freshBuckets = fresh.select($"canon")
+      .repartition(cfg.seenShards, $"canon").cache()
     val bloomFut: Future[Long] = Future {
       timed("bloom") {
         if (nNew + blockedCount == 0) capPerShard
@@ -539,13 +545,17 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             System.err.println(s"[frontier] WARN seen_total=$newSeenTotal exceeds " +
               s"clamped bloom capacity (${cfg.seenShards} shards x $capPerShard); " +
               "fpp degrades — raise seenShards")
-          writeShardBlooms(fresh.select($"canon"), capPerShard, r, priorVer)
+          writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)
           capPerShard
         } else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
           var cap = capPerShard
           while (newSeenTotal > cap * cfg.seenShards / 2 && cap < 4000000L) cap *= 4
+          // rebuild from the full seen set (the bucketed scan is already
+          // partition==bucket; the union with this round's delta needs one
+          // explicit repartition — rebuilds are O(log n) per crawl)
           val full = seenSet(Some(r - 1)).unionByName(fresh.select($"canon"))
-          val written = writeShardBlooms(full, cap, r, Array.fill(cfg.seenShards)(-1))
+            .repartition(cfg.seenShards, $"canon")
+          val written = writeBucketBlooms(full, cap, r, Array.fill(cfg.seenShards)(-1))
           // shards the rebuild didn't touch must still advance to the new
           // sizing, or later delta merges see mismatched bit counts
           (0 until cfg.seenShards).filterNot(written).foreach { k =>
@@ -556,13 +566,13 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           }
           cap
         } else {
-          writeShardBlooms(fresh.select($"canon"), capPerShard, r, priorVer)
+          writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)
           capPerShard
         }
       }
     }
     val seenFut: Future[Unit] = Future {
-      timed("seen")(seen.append(fresh.select($"canon"), r))
+      timed("seen")(seen.append(freshBuckets, r, prePartitioned = true))
     }
     val manifest = timed("commit") {
       store.writeTables(r,
@@ -585,7 +595,8 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "frontier_base" -> newBase,
           "hosts_total" -> hostsTotalNew))
     scheduled.unpersist(); fetched.unpersist()
-    links.unpersist(); fresh.unpersist(); newEntries.unpersist()
+    links.unpersist(); fresh.unpersist(); freshBuckets.unpersist()
+    newEntries.unpersist()
     bloomsBc.destroy()
     nScheduled
   }

@@ -14,19 +14,35 @@ import org.apache.spark.sql.expressions.Window
   */
 object Schedulers {
 
-  /** Declarative form: salted two-phase row_number. Phase 1 cuts every
-    * (host, salt) slice to B rows, bounding a hot host's partition to
-    * saltBuckets*B before the exact per-host window — the skew breaker.
-    * Stays entirely inside Catalyst (codegen, AQE).
+  /** Declarative form: SHUFFLE-FREE local prune, then one exact window.
+    * Phase 1 sorts each existing partition in place ((host, depth, seq) —
+    * no exchange) and streams out at most B rows per host per partition:
+    * a hot host with 10^7 pending URLs contributes ≤ partitions×B rows to
+    * the window, with O(1) memory — the skew breaker, strictly stronger
+    * than the round-2 salted pre-window and one full-frontier shuffle
+    * cheaper. Any host's global top-B by (depth, seq) survives the prune
+    * (each partition keeps its local best B), so phase 2's exact per-host
+    * row_number is unchanged.
     */
   def windowTopB(frontier: DataFrame, budget: Int, saltBuckets: Int): DataFrame = {
-    val w1 = Window.partitionBy(col("host"), col("salt")).orderBy(col("depth"), col("seq"))
+    implicit val inEnc = Encoders.product[SchedIn]
     val w2 = Window.partitionBy(col("host")).orderBy(col("depth"), col("seq"))
     frontier
-      .withColumn("salt", pmod(xxhash64(col("canon")), lit(saltBuckets)))
-      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= budget)
+      .select(col("canon"), col("host"), col("depth"), col("seq"),
+        col("discovered_round"))
+      .sortWithinPartitions(col("host"), col("depth"), col("seq"))
+      .as[SchedIn]
+      .mapPartitions { it =>
+        var curHost: String = null
+        var kept = 0
+        it.filter { e =>
+          if (e.host != curHost) { curHost = e.host; kept = 0 }
+          kept += 1
+          kept <= budget
+        }
+      }
+      .toDF()
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= budget)
-      .drop("salt", "rn1")
   }
 
   /** Imperative form: an explicit bounded selection heap per host

@@ -55,12 +55,18 @@ class SeenTable(spark: SparkSession, location: String, shards: Int) {
     }
   }
 
-  /** Append one round's new canons (one file per bucket). */
-  def append(canons: DataFrame, round: Int): Unit = {
-    val out = canons.select(col("canon"), lit(round).as("round"))
+  /** Append one round's new canons (one file per bucket).
+    * `prePartitioned = true` skips the repartition when the caller already
+    * holds the frame hash-partitioned by canon into `shards` partitions
+    * (the engine shares that one shuffle between the seen append and the
+    * bloom sidecar build). */
+  def append(canons: DataFrame, round: Int, prePartitioned: Boolean = false): Unit = {
+    val out0 = canons.select(col("canon"), lit(round).as("round"))
+    val out =
+      if (prePartitioned) out0
       // HashPartitioning(canon, shards) == the bucket function: each task
       // holds exactly one bucket -> one file per bucket per round
-      .repartition(shards, col("canon"))
+      else out0.repartition(shards, col("canon"))
     ensure()
     val mode = if (spark.catalog.tableExists(tableName)) "append" else "overwrite"
     out.write.mode(mode).format("parquet")

@@ -2,29 +2,32 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Static probe for the generated code: shard by floorMod (== Spark's pmod,
-  * matching the build side's `pmod(xxhash64(canon), nShards)`), then test
-  * the shard's filter. A null slot means that shard has no filter yet —
-  * it contains nothing, so `false` (provably new) is exact.
+/** Static probe for the generated code: test shard `shard`'s filter for
+  * `key`. A null slot means that shard has no filter yet — it contains
+  * nothing, so `false` (provably new) is exact.
   *
   * The generated code resolves `broadcast.value` ONCE per task (mutable
   * codegen state) and passes the raw array here — `.value` per row costs
   * ~3 µs (volatile + soft-reference deref through TorrentBroadcast, with a
   * re-deserialize on GC-cleared refs), measured 50× the probe itself. */
 object BloomProbeHelper {
-  def probe(blooms: Array[BloomFilter], key: Long, nShards: Int): Boolean = {
-    val k = java.lang.Math.floorMod(key, nShards.toLong).toInt
-    val bf = blooms(k)
+  def probe(blooms: Array[BloomFilter], shard: Int, key: Long): Boolean = {
+    val bf = blooms(shard)
     bf != null && bf.mightContainLong(key)
   }
 }
 
-/** `bloom_probe(key)` over a BROADCAST array of per-shard BloomFilters.
+/** `bloom_probe(shard, key)` over a BROADCAST array of per-shard
+  * BloomFilters. The shard column is the SEEN-TABLE BUCKET id
+  * (`pmod(hash(canon), nShards)` — Spark's HashPartitioning/bucketBy
+  * function), so bloom shards align 1:1 with the bucketed seen table and
+  * the round's sidecar update rides the same repartition as the seen
+  * append with no shuffle of its own (see FrontierEngine.writeBucketBlooms).
   *
   * Why not Spark's `BloomFilterMightContain` with the serialized filter as
   * a binary literal: the filter bytes then live INSIDE the expression tree,
@@ -37,28 +40,29 @@ object BloomProbeHelper {
   * the round-1 verdict's complaint about `mightContain` as a UDF).
   * Scales to arbitrarily many shards: probe cost is O(1) per row.
   */
-case class BloomProbe(child: Expression, blooms: Broadcast[Array[BloomFilter]],
-                      nShards: Int) extends UnaryExpression {
+case class BloomProbe(left: Expression, right: Expression,
+                      blooms: Broadcast[Array[BloomFilter]]) extends BinaryExpression {
   override def dataType: DataType = BooleanType
   @transient private lazy val bloomArr: Array[BloomFilter] = blooms.value
-  override def nullSafeEval(v: Any): Any =
-    BloomProbeHelper.probe(bloomArr, v.asInstanceOf[Long], nShards)
+  override def nullSafeEval(s: Any, k: Any): Any =
+    BloomProbeHelper.probe(bloomArr, s.asInstanceOf[Int], k.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcCls = classOf[Broadcast[Array[BloomFilter]]].getName
     val bcRef = ctx.addReferenceObj("bloomsBc", blooms, bcCls)
     val arrCls = "org.apache.spark.util.sketch.BloomFilter[]"
     val arr = ctx.addMutableState(arrCls, "bloomArr",
       v => s"$v = ($arrCls) $bcRef.value();")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BloomProbeHelper.probe($arr, $c, $nShards)")
+    defineCodeGen(ctx, ev, (s, k) =>
+      s"graft.functions.BloomProbeHelper.probe($arr, $s, $k)")
   }
-  override protected def withNewChildInternal(c: Expression): BloomProbe = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomProbe =
+    copy(left = l, right = r)
   override def prettyName: String = "bloom_probe"
 }
 
 object bloomfns {
   import org.apache.spark.sql.graft.bridge.{column, expression}
-  def bloom_probe(key: Column, blooms: Broadcast[Array[BloomFilter]],
-                  nShards: Int): Column =
-    column(BloomProbe(expression(key), blooms, nShards))
+  def bloom_probe(shard: Column, key: Column,
+                  blooms: Broadcast[Array[BloomFilter]]): Column =
+    column(BloomProbe(expression(shard), expression(key), blooms))
 }

@@ -1,10 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.BinaryType
 
 /** Minimal bridge into `private[sql]` Column↔Expression conversion —
   * the standard pattern public Spark extension libraries use to expose
@@ -14,25 +12,6 @@ import org.apache.spark.sql.types.BinaryType
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** Aggregate a LONG key column into a serialized BloomFilter (Spark's
-    * native `BloomFilterAggregate`, the engine behind runtime row-level
-    * filtering — partial-aggregable, codegen-friendly). `items`/`numBits`
-    * must be identical across filters that will be merged. */
-  def bloomAgg(key: Column, items: Long, numBits: Long): Column =
-    ExpressionUtils.column(
-      new BloomFilterAggregate(ExpressionUtils.expression(key),
-        Literal(items), Literal(numBits)).toAggregateExpression())
-
-  /** Native `might_contain(<serialized bloom literal>, <long key>)`. NOTE:
-    * suits SMALL filters only — the bytes live inside the expression tree,
-    * so every stage's task binary carries them and plan canonicalization
-    * re-hashes them; for the engine's multi-MB shard filters use
-    * graft.functions.BloomProbe (broadcast + codegen probe) instead. */
-  def bloomMightContain(bloom: Array[Byte], key: Column): Column =
-    ExpressionUtils.column(
-      BloomFilterMightContain(Literal(bloom, BinaryType),
-        ExpressionUtils.expression(key)))
 
   /** Register the graft SQL functions on an EXISTING session (the
     * SparkSessionExtensions route only applies at session build time). */
