@@ -61,9 +61,21 @@ object Bench {
       // shard layouts, so the comparison isolates parallelism alone
       val engine = new FrontierEngine(spark, store,
         EngineConfig(perHostBudget = budget, seenShards = 32))
-      val docs = DocSynth.docs(spark, cfg, cores * 2).toDF()
-      docs.write.mode("overwrite").parquet(s"$root/docs") // materialize corpus
-      val docsP = spark.read.parquet(s"$root/docs")
+      // corpus cached ACROSS level forks (it is a pure function of cfg and
+      // identical for every rep — re-synthesizing it burned 20-40 s of the
+      // evidence budget per fork) and written with a FIXED partition count
+      // so both levels read byte-identical input
+      val corpus = s"$base/graft-corpus-${cfg.nHosts}-${cfg.pagesPerHost}-" +
+        s"${cfg.hotFactor}-${cfg.linksPerDoc}-${cfg.seed}"
+      if (!new java.io.File(s"$corpus/_SUCCESS").exists) {
+        val tmp = s"$corpus.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+        DocSynth.docs(spark, cfg, 64).toDF().write.mode("overwrite").parquet(tmp)
+        try Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(corpus),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRec(new java.io.File(tmp)) } // another fork won the race
+      }
+      val docsP = spark.read.parquet(corpus)
       val t0 = System.nanoTime()
       // deep seed list: k URLs per host — the politeness budget is the
       // binding constraint from round 1 on

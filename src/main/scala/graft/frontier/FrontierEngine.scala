@@ -411,7 +411,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     //   distinct hosts; a real deployment reads the robots store table.
     val gatedBase = freshRaw
       .withColumn("host", url_host($"canon"))
-      .withColumn("path", regexp_replace($"canon", "^https?://[^/]*", ""))
+      .withColumn("path", url_path($"canon"))
     val gated =
       if (!cfg.useJoinGate) gatedBase.withColumn("allowed", robots_allows($"host", $"path"))
       else {

@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("url_host"),
       new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
       (args: Seq[Expression]) => UrlHost(args.head)))
+    e.injectFunction((FunctionIdentifier("url_path"),
+      new ExpressionInfo(classOf[UrlPath].getName, "url_path"),
+      (args: Seq[Expression]) => UrlPath(args.head)))
     e.injectFunction((FunctionIdentifier("resolve_url"),
       new ExpressionInfo(classOf[ResolveUrl].getName, "resolve_url"),
       (args: Seq[Expression]) => ResolveUrl(args(0), args(1))))

@@ -21,6 +21,8 @@ object UrlExprHelper {
     val r = UrlCanon.resolve(base.toString, ref.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+  def path(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanon.pathOf(u.toString))
 }
 
 /** `canonicalize_url(url)` as a native Catalyst expression (SURVEY.md §2.7 F1).
@@ -68,6 +70,19 @@ case class ResolveUrl(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "resolve_url"
 }
 
+/** `url_path(canonUrl)` — path(+query) extraction for the robots gate.
+  * Replaces a per-candidate `regexp_replace` on the round's hottest
+  * stream (a plain indexOf against compiled-regex matching). */
+case class UrlPath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UrlExprHelper.path(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlExprHelper.path($c)")
+  override protected def withNewChildInternal(c: Expression): UrlPath = copy(c)
+  override def prettyName: String = "url_path"
+}
+
 /** Column-API entry points. */
 object urlfns {
   import org.apache.spark.sql.graft.bridge.{column, expression}
@@ -75,4 +90,5 @@ object urlfns {
   def url_host(c: Column): Column = column(UrlHost(expression(c)))
   def resolve_url(base: Column, ref: Column): Column =
     column(ResolveUrl(expression(base), expression(ref)))
+  def url_path(c: Column): Column = column(UrlPath(expression(c)))
 }

@@ -22,6 +22,8 @@ object bridge {
       args => graft.functions.CanonicalizeUrl(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_host",
       args => graft.functions.UrlHost(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_path",
+      args => graft.functions.UrlPath(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("resolve_url",
       args => graft.functions.ResolveUrl(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("robots_allows",

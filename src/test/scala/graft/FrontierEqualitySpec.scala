@@ -69,6 +69,41 @@ class FrontierEqualitySpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("crash AFTER round-3 writes but BEFORE publish — resume ≡ uninterrupted") {
+    // the hardest crash window: ALL of round 3's effects are on disk
+    // (snapshot tables, the seen-table append with round=3 rows, the v3
+    // bloom sidecars) but the atomic metadata publish never happened.
+    // Injected by running round 3 fully and deleting v3.json — exactly the
+    // state a kill between the commit wave and the rename leaves. The
+    // resumed run must (a) not see any round-3 state (round<=v filter,
+    // blob walk-back, currentVersion), (b) re-run round 3 identically,
+    // (c) tolerate the now-DUPLICATED round-3 seen rows (LEFT ANTI dedup
+    // is dup-safe) for the rest of the crawl.
+    val storeA = freshStore(); val storeB = freshStore()
+    val docs = DocSynth.docs(spark, cfg).toDF().cache()
+    val full = new FrontierEngine(spark, storeA, EngineConfig(perHostBudget = budget))
+    full.run(docs, DocSynth.seeds(cfg), rounds)
+
+    val part = new FrontierEngine(spark, storeB, EngineConfig(perHostBudget = budget))
+    part.run(docs, DocSynth.seeds(cfg), 3)
+    assert(storeB.currentVersion === Some(3))
+    // crash injection: un-publish round 3; every other round-3 artifact stays
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(storeB.root, "metadata", "v3.json"))
+    assert(storeB.currentVersion === Some(2))
+    val resumed = new FrontierEngine(spark, storeB, EngineConfig(perHostBudget = budget))
+    resumed.run(docs, DocSynth.seeds(cfg), rounds)
+
+    def logOf(e: FrontierEngine) = e.crawlLog()
+      .select($"round", $"fetchTime", $"host", $"canon", $"depth", $"seq", $"status")
+      .as[(Int, Long, String, String, Int, Long, Int)].collect().toVector
+    assert(logOf(resumed) === logOf(full), "crash-resumed crawl log ≠ uninterrupted")
+    assert(resumed.seenSet().select($"canon").as[String].collect().toSet ===
+      full.seenSet().select($"canon").as[String].collect().toSet,
+      "crash-resumed seen set ≠ uninterrupted")
+    docs.unpersist()
+  }
+
   test("frontier compaction (compactEvery=2) + tiny-bloom rebuild: crawl ≡ oracle") {
     // exercises BOTH rare state paths the default config never hits in 8
     // rounds: the pending-frontier rewrite + base advance (compaction), and

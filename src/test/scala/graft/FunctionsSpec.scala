@@ -14,17 +14,21 @@ class FunctionsSpec extends AnyFunSuite {
     s
   }
 
-  test("canonicalize_url / url_host / resolve_url callable from SQL") {
+  test("canonicalize_url / url_host / url_path / resolve_url callable from SQL") {
     val row = spark.sql(
       """SELECT canonicalize_url('HTTP://WWW.A.COM:80/X#f') AS c,
         |       url_host('http://a.com:8080/x') AS h,
         |       resolve_url('http://a.com/p/1', '2') AS r,
-        |       resolve_url('http://a.com/p/1', 'mailto:x@y') AS dead
+        |       resolve_url('http://a.com/p/1', 'mailto:x@y') AS dead,
+        |       url_path('http://a.com/p/2?q=1') AS p,
+        |       url_path('http://a.com') AS proot
         |""".stripMargin).collect()(0)
     assert(row.getString(0) === "http://a.com/x")
     assert(row.getString(1) === "a.com")
     assert(row.getString(2) === "http://a.com/p/2")
     assert(row.isNullAt(3))
+    assert(row.getString(4) === "/p/2?q=1")
+    assert(row.getString(5) === "/")
   }
 
   test("expression agrees with the plain-Scala function over the doc corpus") {
