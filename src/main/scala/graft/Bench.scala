@@ -20,7 +20,14 @@ object Bench {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // FIXED at 32 for every level (not = cores): shuffle.partitions is
+      // sized to the DATA, and a real N->4N scale-up does not change it.
+      // It also keeps the candidate pipeline's groupBy(canon) output
+      // partitioning equal to the seen table's 32 buckets, so the exact
+      // dedup anti-join inserts NO extra exchange at either level (AQE
+      // still coalesces small stages where nothing downstream needs the
+      // partitioning).
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -193,7 +200,10 @@ object Bench {
     * host still completes every rep. */
   private val quietBudgetMs = new java.util.concurrent.atomic.AtomicLong(
     sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "360").toLong * 1000)
-  private def quietWait(maxWaitMs: Long = 90000, loadThreshold: Double = 6.0): Unit = {
+  // threshold 9: the host idles around load 5-8 from external tenants (a
+  // constant tax both levels share); only the big spikes (13-25) invalidate
+  // a rep, so waiting for a perfectly-quiet host would just burn the budget
+  private def quietWait(maxWaitMs: Long = 90000, loadThreshold: Double = 9.0): Unit = {
     val deadline = System.currentTimeMillis() + maxWaitMs
     while (System.currentTimeMillis() < deadline && quietBudgetMs.get() > 0) {
       val load1 =
