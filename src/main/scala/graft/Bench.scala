@@ -228,17 +228,46 @@ object Bench {
     }
   }
 
+  /** 1-min load average and MemAvailable (GiB) — logged per rep so a
+    * polluted measurement is identifiable post-hoc instead of silently
+    * min'd away (the round-3 big-tier inversion and the catalog "+11%"
+    * were both unexplainable without this). */
+  private def loadAvg: Double =
+    try Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+  private def memAvailGb: Double =
+    try {
+      val s = Files.readString(java.nio.file.Paths.get("/proc/meminfo"))
+      """MemAvailable:\s+(\d+) kB""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong / 1048576.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
   /** Run one frontier level in THIS JVM (invoked in a fresh fork per level —
     * GC/JIT/session state of one level must not contaminate the other, the
     * same way two cluster sizes are two separate clusters). */
   private def frontierLevelMain(cores: Int, sizeName: String): Unit = {
-    val size = if (sizeName == "big") bigSize else fastSize
+    // an unknown size is an ERROR, never a silent fallback: round 3's
+    // `if (sizeName == "big") ... else fastSize` silently crawled the fast
+    // web under the "xl" label and mislabeled the round's headline evidence
+    val size = sizeName match {
+      case "fast" => fastSize
+      case "big"  => bigSize
+      case "xl"   => xlSize
+      case other  => throw new IllegalArgumentException(
+        s"unknown frontier level size '$other' (expected fast|big|xl)")
+    }
     // untimed warmup (JIT + codegen) inside the level's own JVM
     frontierRun(cores,
       DocSynth.Config(nHosts = 100, pagesPerHost = 20, hotFactor = 4), 8, 2)
+    val (loadPre, memPre) = (loadAvg, memAvailGb)
     val (p, t) = frontierRun(cores, webCfgOf(size), webBudget, size.rounds)
+    val (loadMid, memMid) = (loadAvg, memAvailGb)
     val (kn, kt) = frontierKernel(cores, size.kernel)
-    println(s"""GRAFT_LEVEL_RESULT {"cores":$cores,"urls":$p,"secs":$t,"kernel_urls":$kn,"kernel_secs":$kt}""")
+    val (loadPost, memPost) = (loadAvg, memAvailGb)
+    println(s"""GRAFT_LEVEL_RESULT {"cores":$cores,"size":"$sizeName","urls":$p,"secs":$t,"kernel_urls":$kn,"kernel_secs":$kt,""" +
+      f""""load_pre":$loadPre%.1f,"load_mid":$loadMid%.1f,"load_post":$loadPost%.1f,""" +
+      f""""mem_gb_pre":$memPre%.1f,"mem_gb_mid":$memMid%.1f,"mem_gb_post":$memPost%.1f}""")
   }
 
   /** Fork a fresh JVM (same classpath + module opens) for one phase. The
@@ -275,16 +304,32 @@ object Bench {
     * count on a real N→4N cluster — a FIXED heap makes the 4N level
     * GC-thrash (measured: the 32-core crawl took 3× the 8-core time in a
     * shared 8g heap). Returns (crawlUrls, crawlSecs, kernelUrls, kernelSecs). */
-  private def forkLevel(cores: Int, sizeName: String): (Long, Double, Long, Double) = {
+  private def forkLevel(cores: Int, sizeName: String,
+                        rep: Int): (Long, Double, Long, Double) = {
     val heap = sys.env.get("SPARK_GRAFT_LEVEL_MEM")
       .map(_.stripSuffix("g").toInt).getOrElse(math.max(8, cores))
     val out = forkJava(heap, Seq("--frontier-level", cores.toString, sizeName))
-    val m = ("""GRAFT_LEVEL_RESULT \{"cores":\d+,"urls":(\d+),"secs":([0-9.E-]+),""" +
-      """"kernel_urls":(\d+),"kernel_secs":([0-9.E-]+)\}""").r
+    val m = ("""GRAFT_LEVEL_RESULT \{"cores":\d+,"size":"[a-z]+","urls":(\d+),"secs":([0-9.E-]+),""" +
+      """"kernel_urls":(\d+),"kernel_secs":([0-9.E-]+)[,}]""").r
       .findFirstMatchIn(out)
       .getOrElse(throw new IllegalStateException(s"level $cores produced no result: $out"))
+    // EVERY rep is persisted (not just the min): min-of-reps hides which
+    // reps were polluted, so a regression and host noise were previously
+    // indistinguishable post-hoc
+    """GRAFT_LEVEL_RESULT (\{.*\})""".r.findFirstMatchIn(out).foreach { raw =>
+      appendRep(s"""{"phase":"level","rep":$rep,"heap_gb":$heap,""" +
+        s""""ts":"${java.time.Instant.now()}",${raw.group(1).stripPrefix("{")}""")
+    }
     (m.group(1).toLong, m.group(2).toDouble, m.group(3).toLong, m.group(4).toDouble)
   }
+
+  /** Append one measurement record to BENCH/reps.jsonl (never fails the bench). */
+  private def appendRep(line: String): Unit = try {
+    new java.io.File("BENCH").mkdirs()
+    Files.writeString(java.nio.file.Paths.get("BENCH/reps.jsonl"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  } catch { case _: Throwable => }
 
   /** Operator-query phase in its OWN JVM: times each catalog query at sfDir
     * and prints one GRAFT_QUERIES_RESULT line for the orchestrator. */
@@ -298,21 +343,28 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
       catch { case _: Throwable => }
     }
+    // per-query host-load samples: lets the round distinguish a genuine
+    // per-query regression from a load spike that hit mid-phase
+    val loads = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = try {
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
         case (name, fn) =>
+          val l0 = loadAvg
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
           catch { case _: Throwable =>
             try fn(spark, sfDir).count() catch { case _: Throwable => }
           }
           val secs = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name: $secs%.2f s")
+          loads += name -> l0
+          System.err.println(f"[bench] $name: $secs%.2f s (load $l0%.1f)")
           name -> secs
       }
     } finally spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val ls = loads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
     println(s"GRAFT_QUERIES_RESULT $qs")
+    println(f"""GRAFT_QUERIES_META {"mem_gb_post":$memAvailGb%.1f,"loads":$ls}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -335,8 +387,13 @@ object Bench {
       if (frontierOnly) Seq.empty
       else {
         val out = forkJava(64, Seq("--queries"))
-        """GRAFT_QUERIES_RESULT \{([^}]*)\}""".r.findFirstMatchIn(out) match {
+        """GRAFT_QUERIES_RESULT (\{[^}]*\})""".r.findFirstMatchIn(out) match {
           case Some(m) =>
+            val meta = """GRAFT_QUERIES_META (\{.*\})""".r.findFirstMatchIn(out)
+              .map(_.group(1).stripPrefix("{").stripSuffix("}")).getOrElse("")
+            appendRep(s"""{"phase":"queries","ts":"${java.time.Instant.now()}",""" +
+              s""""sf":"$sfDir","secs":${m.group(1)}""" +
+              (if (meta.nonEmpty) s",$meta" else "") + "}")
             """"([^"]+)":([0-9.E-]+)""".r.findAllMatchIn(m.group(1))
               .map(g => g.group(1) -> g.group(2).toDouble).toSeq
           case None => throw new IllegalStateException(s"query phase produced no result: $out")
@@ -464,7 +521,7 @@ object Bench {
       var trials = Vector.empty[(Int, (Long, Double, Long, Double))]
       for (rep <- 1 to size.reps; c <- Seq(small, cpus)) {
         quietWait()
-        val res = forkLevel(c, size.name)
+        val res = forkLevel(c, size.name, rep)
         trials :+= (c -> res)
         if (res._3 == bigSize.kernel) kpool :+= ((c, res._3, res._4))
         if (trials.exists(_._1 == small) && trials.exists(_._1 == cpus)) {
