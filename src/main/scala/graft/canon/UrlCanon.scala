@@ -58,26 +58,42 @@ object UrlCanon extends Serializable {
     * the reference runs every resolved URL through UURIFactory-style ASCII
     * escaping (CDXRecordExtractorOutput.resolve:312-327), and the engine's
     * crawl-order determinism relies on ASCII-only canon strings (UTF-16
-    * sort == UTF-8 byte sort only on ASCII). Idempotent on its own output
-    * (which is pure printable ASCII; '%' is left alone, so pre-escaped
-    * input passes through unchanged). Surrogate pairs are handled by
+    * sort == UTF-8 byte sort only on ASCII). Escaping is LAX
+    * (Heritrix-style): a '%' followed by two hex digits is treated as an
+    * existing escape and passed through, a bare '%' is escaped to %25 —
+    * so "a%20b" is unchanged while "100%" becomes "100%25" instead of
+    * throwing inside java.net.URI (escape-rather-than-drop, like the
+    * reference). Idempotent on its own output (pure printable ASCII whose
+    * every '%' heads a valid escape). Surrogate pairs are handled by
     * encoding the WHOLE string to UTF-8 first, never char-by-char.
     */
+  private def isHex(c: Int): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def asciiEscape(s: String): String = {
     var i = 0
     var clean = true
     while (clean && i < s.length) {
       val c = s.charAt(i)
       if (c <= ' ' || c > '~') clean = false
+      else if (c == '%' && (i + 2 >= s.length ||
+               !isHex(s.charAt(i + 1)) || !isHex(s.charAt(i + 2))))
+        clean = false
       i += 1
     }
     if (clean) return s
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new java.lang.StringBuilder(bytes.length + 8)
-    bytes.foreach { b =>
-      val ub = b & 0xff
-      if (ub > 0x20 && ub <= 0x7e) out.append(ub.toChar)
+    var j = 0
+    while (j < bytes.length) {
+      val ub = bytes(j) & 0xff
+      if (ub == '%') {
+        val valid = j + 2 < bytes.length &&
+          isHex(bytes(j + 1) & 0xff) && isHex(bytes(j + 2) & 0xff)
+        out.append(if (valid) "%" else "%25")
+      } else if (ub > 0x20 && ub <= 0x7e) out.append(ub.toChar)
       else out.append(f"%%$ub%02X")
+      j += 1
     }
     out.toString
   }

@@ -105,6 +105,24 @@ class CanonSpec extends AnyFunSuite {
     assert(UrlCanon.asciiEscape("no%20change") === "no%20change")
   }
 
+  test("lax escaping: bare '%' escapes to %25, valid escapes pass through") {
+    // a bare '%' used to throw inside java.net.URI on the relative path
+    // (link dropped) while the absolute fast path passed it through —
+    // asymmetric; now both escape-rather-than-drop like the reference
+    assert(UrlCanon.asciiEscape("100%") === "100%25")
+    assert(UrlCanon.asciiEscape("a%zz") === "a%25zz")
+    assert(UrlCanon.asciiEscape("a%2") === "a%252")
+    assert(UrlCanon.asciiEscape("a%2Fb%") === "a%2Fb%25")
+    assert(UrlCanon.asciiEscape(UrlCanon.asciiEscape("100% of ü%")) ===
+      UrlCanon.asciiEscape("100% of ü%"))
+    val base = "http://h.example.org/dir/page"
+    assert(UrlCanon.resolve(base, "sale-100%") ===
+      "http://h.example.org/dir/sale-100%25")
+    assert(UrlCanon.resolve(base, "http://x.org/sale-100%") ===
+      "http://x.org/sale-100%25")
+    assert(UrlCanon.resolve(base, "q%3Fx") === "http://h.example.org/dir/q%3Fx")
+  }
+
   test("urlKey64 matches Spark's xxhash64 semantics (stable key)") {
     // pinned value: any change to the key function silently rewires every
     // seen-set shard — fail loudly instead
