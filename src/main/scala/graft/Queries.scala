@@ -264,7 +264,7 @@ object Queries {
       import s.implicits._
       val e = frontierRun(s)
       val v = (1 to 3).map(i => s"${e.storeRoot}/data/v$i/lineage")
-        .filter(p => new java.io.File(p).exists)
+        .filter(p => new graft.snapshots.HadoopStorage().exists(p))
       s.read.parquet(v: _*).orderBy($"round", $"host")
     })
   )

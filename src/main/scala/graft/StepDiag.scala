@@ -43,7 +43,7 @@ object StepDiag {
       val f = adds.join(consumed, Seq("canon"), "left_anti"); f.count(); f
     }
     val hostNext = store.read(spark, "host_next", Some(2))
-    val scheduled = Schedulers.windowTopB(frontier, 128, 8)
+    val scheduled = Schedulers.windowTopB(frontier, 128)
       .join(broadcast(hostNext), Seq("host"), "left")
       .withColumn("next_time", coalesce($"next_time", lit(0L)))
       .withColumn("delay", crawl_delay($"host").cast("long"))
@@ -63,12 +63,10 @@ object StepDiag {
     val linksDf = resolved.groupBy($"canon2".as("canon"))
       .agg((min($"depth") + 1).as("depth")).cache()
     timed("links groupBy count")(linksDf.count())
-    val blooms = (0 until 32).map { k =>
-      (2 to 0 by -1).find(v => store.blobExists(v, s"seen.bloom.$k"))
-        .map(v => store.readBlob(v, s"seen.bloom.$k"))
+    val vers = (0 until 32).map { k =>
+      (2 to 0 by -1).find(v => store.blobExists(v, s"seen.bloom.$k")).getOrElse(-1)
     }.toArray
-    val bc = spark.sparkContext.broadcast(blooms.map(_.map(
-      org.apache.spark.util.sketch.BloomFilter.readFrom).orNull))
+    val bc = spark.sparkContext.broadcast(graft.functions.BloomDesc(store, vers))
     val withKey = linksDf.withColumn("key", xxhash64($"canon"))
       .withColumn("bshard", pmod(hash($"canon"), lit(32)))
     val seenT = new SeenTable(spark, s"$root/seen_bucketed", 32)

@@ -18,7 +18,6 @@ import graft.snapshots.SnapshotStore
   */
 case class EngineConfig(
     perHostBudget: Int = 4,      // max fetches per host per round (politeness)
-    saltBuckets: Int = 8,        // per-host salting fanout for the schedule window
     seenShards: Int = 32,        // seen-set bucket/bloom-shard count (≫ executors at scale)
     bloomCapacity: Long = 1L << 22, // TOTAL bloom capacity (items) across shards
     bloomFpp: Double = 0.01,
@@ -33,7 +32,8 @@ case class EngineConfig(
   *
   * Each round is TWO Spark job waves:
   *   wave 1 — ONE metrics action: read snapshot r-1 → schedule (per-host
-  *   top-B by (depth,seq), salted two-phase window) → "fetch" (join the
+  *   top-B by (depth,seq), shuffle-free local prune + exact window) →
+  *   "fetch" (join the
   *   small schedule against the once-per-crawl link graph) → extract +
   *   resolve + canonicalize links (native Catalyst expressions) →
   *   bloom-prune (per-shard `bloom_probe`) → EXACT LEFT-ANTI join vs the
@@ -80,18 +80,26 @@ case class EngineConfig(
   *     written shard ids (O(shards) ints), so no filter bytes ever flow
   *     through the driver (at 32k shards × 4.8 MB a driver-side merge
   *     loop would move ~150 GB per rebuild).
-  *     Untouched shards are carried forward by REFERENCE: readers walk
-  *     back to each shard's latest committed blob version instead of the
-  *     round rewriting every sidecar. Probes ride the codegen'd broadcast
-  *     `BloomProbe` expression — never a bloom-as-literal, never a
-  *     ScalaUDF. When the seen count outgrows capacity/2 the shards are
+  *     Untouched shards are carried forward by REFERENCE: each snapshot's
+  *     metadata records the per-shard latest blob version (`bloom_vers`
+  *     prop), so finding them is one O(shards) metadata read — no
+  *     per-file probing. On the PROBE side the driver broadcasts only
+  *     that version manifest; executors lazily pull exactly the shard
+  *     blobs their tasks probe from shared storage into a bounded LRU
+  *     (BloomRegistry) that stays warm across rounds for unchanged
+  *     shards. Probes ride the codegen'd `BloomProbe` expression — never
+  *     a bloom-as-literal, never a ScalaUDF, and never O(total-bloom-
+  *     bytes) through the driver in either direction. When the seen
+  *     count outgrows capacity/2 the shards are
   *     rebuilt at 4× capacity from the seen table — O(log n) rebuilds over
   *     a crawl's lifetime — until the per-shard clamp (4M items, matching
   *     BloomFilterAggregate's SQLConf cap) binds, at which point rebuilds
   *     stop and the fix is more shards (warned).
-  *   - per-host skew (hot hosts with 10^7 pending URLs) is salted: phase 1
-  *     takes top-B per (host, salt) — cutting a hot host to saltBuckets*B
-  *     rows — before the exact per-host top-B window in phase 2.
+  *   - per-host skew (hot hosts with 10^7 pending URLs) is broken by a
+  *     shuffle-free local prune: each existing partition sorts in place and
+  *     keeps at most B rows per host, so a hot host contributes
+  *     ≤ partitions×B rows to the exact per-host top-B window in phase 2
+  *     (Schedulers.windowTopB).
   *   - the corpus is projected ONCE PER CRAWL to a (doc_id, links) link
   *     graph; per-round fetch joins broadcast the schedule (≤ hosts*B
   *     rows) against that slim table — never the 100 TB doc table. Both
@@ -126,7 +134,8 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     }
   }
 
-  private val seen = new SeenTable(spark, s"${store.root}/seen_bucketed", cfg.seenShards)
+  private val seen = new SeenTable(spark, s"${store.root}/seen_bucketed",
+    cfg.seenShards, store.storage)
   // observation names are session-global: disambiguate by store
   private val obsToken = java.lang.Integer.toHexString(store.root.hashCode)
 
@@ -141,20 +150,31 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   }
   private def bloomBlobName(k: Int): String = s"seen.bloom.$k"
 
-  /** Latest committed blob version per shard at or before v (-1 = none).
-    * Shards untouched by recent rounds are carried forward by reference —
-    * a round only writes the sidecars it changed. */
-  private def blobVersions(v: Int): Array[Int] =
-    Array.tabulate(cfg.seenShards) { k =>
-      var i = v
-      while (i >= 0 && !store.blobExists(i, bloomBlobName(k))) i -= 1
-      i
-    }
+  /** Per-shard latest committed blob version at snapshot v, from the
+    * snapshot's own metadata (the `bloom_vers` prop written by `publish`).
+    * Shards untouched by recent rounds are carried forward by REFERENCE —
+    * a round only writes the sidecars it changed and records the rest's
+    * prior versions in the manifest. Replaces the round-3 walk-back, which
+    * stat'ed one blob file per (shard, version) from the driver —
+    * O(seenShards × rounds-since-touch) metadata calls per round, the
+    * exact per-round serial cost the engine design bans. Also validates
+    * the shard count against the config: resuming a store with a changed
+    * seenShards must fail loudly, not silently mis-route probes. */
+  private def blobVersions(v: Int): Array[Int] = {
+    val s = store.readProps(v).getOrElse("bloom_vers",
+      throw new IllegalStateException(
+        s"snapshot v$v under ${store.root} carries no bloom_vers manifest"))
+    val vers = s.split(",").map(_.toInt)
+    require(vers.length == cfg.seenShards,
+      s"store at ${store.root} has ${vers.length} bloom shards but the " +
+      s"engine is configured with seenShards=${cfg.seenShards} — changing " +
+      "the shard count on an existing store breaks bucket-aligned probing; " +
+      "rewrite the seen table and sidecars to grow shards")
+    vers
+  }
 
-  private def readBlooms(vers: Array[Int]): Array[Option[Array[Byte]]] =
-    Array.tabulate(cfg.seenShards) { k =>
-      if (vers(k) < 0) None else Some(store.readBlob(vers(k), bloomBlobName(k)))
-    }
+  private def bloomVersProp(vers: Array[Int]): Map[String, String] =
+    Map("bloom_vers" -> vers.mkString(","))
 
   /** Build + write the per-bucket bloom sidecars from a frame ALREADY
     * hash-partitioned by the seen-table bucket function (partition id ==
@@ -190,11 +210,6 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .collect().toSet
   }
 
-  /** Deserialize the shard blobs into one broadcast-ready array (null slot
-    * = shard has no filter yet = contains nothing). */
-  private def deserializeBlooms(blobs: Array[Option[Array[Byte]]]): Array[BloomFilter] =
-    blobs.map(_.map(BloomFilter.readFrom).orNull)
-
   /** One-time projection of the interleaved-doc corpus to the slim link
     * graph (doc_id, links: array<string>) the frontier actually consumes —
     * element-level column pruning Catalyst cannot derive through the
@@ -209,17 +224,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // rename into place atomically. A bare existence check trusted a
     // partial dir left by a crash mid-write — a resumed crawl would then
     // silently read an incomplete link graph (resume ≡ continue invariant).
-    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+    if (!store.storage.exists(s"$path/_SUCCESS")) {
       val tmp = s"${store.root}/.links.tmp"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      store.storage.deleteRec(tmp)
+      store.storage.deleteRec(path)
       docs.select($"doc_id",
           transform(filter($"spans", sp => sp("kind") === "link"),
             sp => sp("media_ref")).as("links"))
         .write.mode("overwrite").parquet(tmp)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(path),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      store.storage.moveAtomic(tmp, path)
     }
     spark.read.parquet(path)
   }
@@ -242,14 +255,17 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seedBuckets = canonSeeds.toDF("canon")
       .repartition(cfg.seenShards, $"canon").cache()
     seen.append(seedBuckets, 0, prePartitioned = true)
-    writeBucketBlooms(seedBuckets, capPerShard, 0, Array.fill(cfg.seenShards)(-1))
+    val written = writeBucketBlooms(seedBuckets, capPerShard, 0,
+      Array.fill(cfg.seenShards)(-1))
     seedBuckets.unpersist()
+    val vers0 = Array.tabulate(cfg.seenShards)(k => if (written(k)) 0 else -1)
     store.publish(0, manifest,
       Map("seq_base" -> canonSeeds.size.toLong,
           "seen_total" -> canonSeeds.size.toLong,
           "bloom_capacity" -> capPerShard,
           "frontier_base" -> 0L,
-          "hosts_total" -> hosts.size.toLong))
+          "hosts_total" -> hosts.size.toLong),
+      bloomVersProp(vers0))
   }
 
   private def emptyLineage: DataFrame =
@@ -257,10 +273,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .toDF("round", "host", "scheduled", "fetched_200", "fetched_404",
             "discovered", "deduped", "blocked")
 
-  /** All seen canons committed up to snapshot v (bucketed on canon). */
+  /** All seen canons committed up to snapshot v, exactly once per canon.
+    * The underlying table is append-only and a crash-resume legitimately
+    * re-appends the interrupted round's rows, so the raw scan can carry
+    * committed duplicates; the public row-level view dedups them (the
+    * bucketed scan makes this a shuffle-free partial agg). The dedup JOIN
+    * build side stays raw (`seenJoinable`) — LEFT ANTI is dup-safe. */
   def seenSet(upTo: Option[Int] = None): DataFrame = {
     val v = upTo.orElse(store.currentVersion).getOrElse(0)
-    seen.upTo(v)
+    seen.upTo(v).dropDuplicates("canon")
   }
 
   /** The round's exact-dedup build side, exposed for plan tests. */
@@ -270,7 +291,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   def crawlLog(upTo: Option[Int] = None): DataFrame = {
     val v = upTo.orElse(store.currentVersion).getOrElse(0)
     val paths = (1 to v).map(i => s"${store.root}/data/v$i/crawl_log")
-      .filter(p => new java.io.File(p).exists)
+      .filter(store.storage.exists)
     if (paths.isEmpty) spark.emptyDataset[graft.model.CrawlLogEntry].toDF()
     else spark.read.parquet(paths: _*)
       .orderBy($"round", $"fetchTime", $"host", $"seq")
@@ -283,10 +304,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * every round. */
   private def pendingFrontier(v: Int, base: Int): DataFrame = {
     val addPaths = (base to v).map(i => s"${store.root}/data/v$i/frontier")
-      .filter(p => new java.io.File(p).exists)
+      .filter(store.storage.exists)
     val adds = spark.read.parquet(addPaths: _*)
     val consumedPaths = (base + 1 to v).map(i => s"${store.root}/data/v$i/crawl_log")
-      .filter(p => new java.io.File(p).exists)
+      .filter(store.storage.exists)
     if (consumedPaths.isEmpty) adds
     else adds.join(spark.read.parquet(consumedPaths: _*).select($"canon"),
       Seq("canon"), "left_anti")
@@ -312,24 +333,28 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val frontier = pendingFrontier(r - 1, base)
     val hostNext = store.read(spark, "host_next", Some(r - 1))
     val priorVer = blobVersions(r - 1)
-    // one broadcast per round: filters ship to executors via the block
-    // manager, the plan carries only the handle (see BloomProbe scaladoc)
-    val bloomsBc = spark.sparkContext.broadcast(deserializeBlooms(readBlooms(priorVer)))
+    // one TINY broadcast per round — the per-shard blob-version manifest,
+    // O(shards) ints. The filters load lazily executor-side from shared
+    // storage into the bounded BloomRegistry cache; untouched shards keep
+    // their version, so their filters stay warm across rounds. No filter
+    // bytes ever cross the driver (see BloomRegistry scaladoc).
+    val descBc = spark.sparkContext.broadcast(
+      graft.functions.BloomDesc(store, priorVer))
     // shard routing = the seen-table BUCKET id (murmur3), key = xxhash64:
     // bloom shards align 1:1 with the bucketed seen table
     def mightContain(shard: Column, key: Column): Column =
-      graft.functions.bloomfns.bloom_probe(shard, key, bloomsBc)
+      graft.functions.bloomfns.bloom_probe(shard, key, descBc)
 
     // ---- politeness schedule: per-host top-B by (depth, seq) --------------
     // Two interchangeable, equality-tested implementations (ScheduleSpec):
-    // the declarative salted two-phase window (default), and an explicit
+    // the declarative local-prune + exact window (default), and an explicit
     // bounded per-host heap (the north star's "min-heap on next-fetch-time")
     // via flatMapGroups, O(B) memory per host. The host_next join is
     // adaptive on the committed host count — at 10^8 hosts an unconditional
     // broadcast would build a multi-GB table on the driver every round.
     val topB =
       if (cfg.useHeapScheduler) Schedulers.heapTopB(frontier, cfg.perHostBudget)
-      else Schedulers.windowTopB(frontier, cfg.perHostBudget, cfg.saltBuckets)
+      else Schedulers.windowTopB(frontier, cfg.perHostBudget)
     def maybeBcHosts(df: DataFrame): DataFrame =
       if (hostsTotal <= cfg.broadcastHostLimit) broadcast(df) else df
     val schedObs = Observation(s"sched_${obsToken}_r$r")
@@ -534,9 +559,14 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // == bloom shard id), so the bloom update costs no shuffle of its own
     val freshBuckets = fresh.select($"canon")
       .repartition(cfg.seenShards, $"canon").cache()
-    val bloomFut: Future[Long] = Future {
+    // each branch returns (capacity, per-shard blob versions to publish):
+    // delta writes advance only the touched shards to r, rebuilds advance
+    // every shard — the manifest is what the NEXT round's probe reads
+    def deltaVers(written: Set[Int]): Array[Int] =
+      Array.tabulate(cfg.seenShards)(k => if (written(k)) r else priorVer(k))
+    val bloomFut: Future[(Long, Array[Int])] = Future {
       timed("bloom") {
-        if (nNew + blockedCount == 0) capPerShard
+        if (nNew + blockedCount == 0) (capPerShard, priorVer)
         else if (capPerShard >= 4000000L) {
           // the per-shard clamp binds: a rebuild would rescan the seen set
           // for byte-identically sized filters. Keep merging deltas; the
@@ -545,8 +575,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             System.err.println(s"[frontier] WARN seen_total=$newSeenTotal exceeds " +
               s"clamped bloom capacity (${cfg.seenShards} shards x $capPerShard); " +
               "fpp degrades — raise seenShards")
-          writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)
-          capPerShard
+          (capPerShard, deltaVers(writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)))
         } else if (newSeenTotal > capPerShard * cfg.seenShards / 2) {
           var cap = capPerShard
           while (newSeenTotal > cap * cfg.seenShards / 2 && cap < 4000000L) cap *= 4
@@ -564,10 +593,9 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             bf.writeTo(bos)
             store.writeBlob(r, bloomBlobName(k), bos.toByteArray)
           }
-          cap
+          (cap, Array.fill(cfg.seenShards)(r))
         } else {
-          writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)
-          capPerShard
+          (capPerShard, deltaVers(writeBucketBlooms(freshBuckets, capPerShard, r, priorVer)))
         }
       }
     }
@@ -581,7 +609,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             "crawl_log" -> crawlLogRound,
             "lineage" -> lineage))
     }
-    val capOut = Await.result(bloomFut, Duration.Inf)
+    val (capOut, versOut) = Await.result(bloomFut, Duration.Inf)
     Await.result(seenFut, Duration.Inf)
     val hostsTotalNew = hostsObs.get("n").asInstanceOf[Long]
     store.publish(r, manifest,
@@ -593,11 +621,12 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "deduped" -> (nDiscovered - nNew - blockedCount),
           "bloom_capacity" -> capOut,
           "frontier_base" -> newBase,
-          "hosts_total" -> hostsTotalNew))
+          "hosts_total" -> hostsTotalNew),
+      bloomVersProp(versOut))
     scheduled.unpersist(); fetched.unpersist()
     links.unpersist(); fresh.unpersist(); freshBuckets.unpersist()
     newEntries.unpersist()
-    bloomsBc.destroy()
+    descBc.destroy()
     nScheduled
   }
 

@@ -24,7 +24,7 @@ object Schedulers {
     * (each partition keeps its local best B), so phase 2's exact per-host
     * row_number is unchanged.
     */
-  def windowTopB(frontier: DataFrame, budget: Int, saltBuckets: Int): DataFrame = {
+  def windowTopB(frontier: DataFrame, budget: Int): DataFrame = {
     implicit val inEnc = Encoders.product[SchedIn]
     val w2 = Window.partitionBy(col("host")).orderBy(col("depth"), col("seq"))
     frontier

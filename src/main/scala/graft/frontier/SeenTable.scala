@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * fresh session. The table name is derived from the root path so several
   * stores can coexist in one session (tests do this).
   */
-class SeenTable(spark: SparkSession, location: String, shards: Int) {
+class SeenTable(spark: SparkSession, location: String, shards: Int,
+                storage: graft.snapshots.Storage = new graft.snapshots.HadoopStorage) {
   import spark.implicits._
 
   val tableName: String = {
@@ -41,11 +42,32 @@ class SeenTable(spark: SparkSession, location: String, shards: Int) {
     s"graft_seen_${h}_${location.length}"
   }
 
-  def exists: Boolean = new java.io.File(s"$location/_created").exists
+  def exists: Boolean = storage.exists(s"$location/_created")
+
+  /** The bucket count is PHYSICAL layout: every file on disk carries its
+    * bucket id under the count it was written with. Re-registering the
+    * table with a different `shards` would advertise the wrong
+    * HashPartitioning, silently mis-co-locating the storage-partitioned
+    * dedup join (seen URLs re-crawled, no error) — so the count is
+    * persisted in the `_created` marker and a mismatch fails loudly.
+    * Growing the seen-shard count requires a rewrite of the table (and its
+    * bloom sidecars), not a config flip. */
+  private def checkLayout(): Unit = {
+    if (!exists) return
+    val txt = storage.readString(s"$location/_created").trim
+    if (txt.nonEmpty)
+      require(txt.toInt == shards,
+        s"seen table at $location was bucketed INTO ${txt.toInt} BUCKETS but " +
+        s"this engine is configured with seenShards=$shards — changing the " +
+        "bucket count on an existing store silently breaks the storage-" +
+        "partitioned dedup join; rewrite the seen table (and bloom " +
+        "sidecars) to grow shards")
+  }
 
   /** Register the external bucketed table in THIS session's catalog if the
     * files exist but the entry doesn't (resume in a fresh session). */
   def ensure(): Unit = synchronized {
+    checkLayout()
     if (!spark.catalog.tableExists(tableName) && exists) {
       spark.sql(
         s"""CREATE TABLE $tableName (canon STRING, round INT)
@@ -74,9 +96,10 @@ class SeenTable(spark: SparkSession, location: String, shards: Int) {
       .option("path", location)
       .saveAsTable(tableName)
     // marker AFTER the first successful write: a crash mid-first-append
-    // leaves exists=false and the deterministic re-run recreates cleanly
-    val marker = java.nio.file.Paths.get(location, "_created")
-    if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
+    // leaves exists=false and the deterministic re-run recreates cleanly.
+    // Content = the bucket count the files were written with (see
+    // checkLayout).
+    if (!exists) storage.writeString(s"$location/_created", shards.toString)
   }
 
   /** Seen canons as of committed snapshot v, with bucketing metadata intact

@@ -7,53 +7,54 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Static probe for the generated code: test shard `shard`'s filter for
-  * `key`. A null slot means that shard has no filter yet — it contains
-  * nothing, so `false` (provably new) is exact.
+/** `bloom_probe(shard, key)` over a BROADCAST `BloomDesc` — the per-shard
+  * blob-version manifest, O(shards) ints. The filters themselves are
+  * loaded lazily, executor-side, from shared storage into the bounded
+  * [[BloomRegistry]] cache: no filter bytes ever cross the driver (the
+  * round-3 design broadcast every deserialized shard filter from the
+  * driver each round — the same O(total-bloom-bytes) driver step the
+  * executor-written sidecars removed from the WRITE path).
   *
-  * The generated code resolves `broadcast.value` ONCE per task (mutable
-  * codegen state) and passes the raw array here — `.value` per row costs
-  * ~3 µs (volatile + soft-reference deref through TorrentBroadcast, with a
-  * re-deserialize on GC-cleared refs), measured 50× the probe itself. */
-object BloomProbeHelper {
-  def probe(blooms: Array[BloomFilter], shard: Int, key: Long): Boolean = {
-    val bf = blooms(shard)
-    bf != null && bf.mightContainLong(key)
-  }
-}
-
-/** `bloom_probe(shard, key)` over a BROADCAST array of per-shard
-  * BloomFilters. The shard column is the SEEN-TABLE BUCKET id
-  * (`pmod(hash(canon), nShards)` — Spark's HashPartitioning/bucketBy
-  * function), so bloom shards align 1:1 with the bucketed seen table and
-  * the round's sidecar update rides the same repartition as the seen
-  * append with no shuffle of its own (see FrontierEngine.writeBucketBlooms).
+  * The shard column is the SEEN-TABLE BUCKET id (`pmod(hash(canon),
+  * nShards)` — Spark's HashPartitioning/bucketBy function), so bloom
+  * shards align 1:1 with the bucketed seen table and the round's sidecar
+  * update rides the same repartition as the seen append with no shuffle of
+  * its own (see FrontierEngine.writeBucketBlooms).
   *
   * Why not Spark's `BloomFilterMightContain` with the serialized filter as
   * a binary literal: the filter bytes then live INSIDE the expression tree,
   * so every stage's task binary carries them (measured 8.7 MiB task
   * broadcasts at 32 × 157 KB shards) and Catalyst re-hashes the megabyte
   * literals on every plan canonicalization — minutes of planning overhead
-  * per round. A broadcast ships the filters to each executor ONCE per round
-  * via the block manager, the plan holds only the broadcast handle, and
+  * per round. Here the plan holds only the tiny desc broadcast handle, and
   * codegen stays a single static call (no per-row ScalaUDF serialization —
-  * the round-1 verdict's complaint about `mightContain` as a UDF).
-  * Scales to arbitrarily many shards: probe cost is O(1) per row.
+  * the round-1 verdict's complaint about `mightContain` as a UDF). The
+  * generated code resolves `broadcast.value` ONCE per task (mutable
+  * codegen state) — `.value` per row costs ~3 µs (volatile + soft-ref
+  * deref through TorrentBroadcast), measured 50× the probe itself.
+  * Scales to arbitrarily many shards: probe cost is O(1) per row, executor
+  * memory is bounded by the registry's LRU.
   */
 case class BloomProbe(left: Expression, right: Expression,
-                      blooms: Broadcast[Array[BloomFilter]]) extends BinaryExpression {
+                      desc: Broadcast[BloomDesc]) extends BinaryExpression {
   override def dataType: DataType = BooleanType
-  @transient private lazy val bloomArr: Array[BloomFilter] = blooms.value
+  @transient private lazy val d: BloomDesc = desc.value
+  @transient private lazy val arr: Array[BloomFilter] =
+    new Array[BloomFilter](d.vers.length)
   override def nullSafeEval(s: Any, k: Any): Any =
-    BloomProbeHelper.probe(bloomArr, s.asInstanceOf[Int], k.asInstanceOf[Long])
+    BloomRegistry.probe(arr, d, s.asInstanceOf[Int], k.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bcCls = classOf[Broadcast[Array[BloomFilter]]].getName
-    val bcRef = ctx.addReferenceObj("bloomsBc", blooms, bcCls)
+    val bcCls = classOf[Broadcast[BloomDesc]].getName
+    val bcRef = ctx.addReferenceObj("bloomDescBc", desc, bcCls)
+    val descCls = "graft.functions.BloomDesc"
+    val dRef = ctx.addMutableState(descCls, "bloomDesc",
+      v => s"$v = ($descCls) $bcRef.value();")
     val arrCls = "org.apache.spark.util.sketch.BloomFilter[]"
     val arr = ctx.addMutableState(arrCls, "bloomArr",
-      v => s"$v = ($arrCls) $bcRef.value();")
+      v => s"$v = new org.apache.spark.util.sketch.BloomFilter[" +
+        s"(($descCls) $bcRef.value()).vers().length];")
     defineCodeGen(ctx, ev, (s, k) =>
-      s"graft.functions.BloomProbeHelper.probe($arr, $s, $k)")
+      s"graft.functions.BloomRegistry.probe($arr, $dRef, $s, $k)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomProbe =
     copy(left = l, right = r)
@@ -63,6 +64,6 @@ case class BloomProbe(left: Expression, right: Expression,
 object bloomfns {
   import org.apache.spark.sql.graft.bridge.{column, expression}
   def bloom_probe(shard: Column, key: Column,
-                  blooms: Broadcast[Array[BloomFilter]]): Column =
-    column(BloomProbe(expression(shard), expression(key), blooms))
+                  desc: Broadcast[BloomDesc]): Column =
+    column(BloomProbe(expression(shard), expression(key), desc))
 }

@@ -1,7 +1,5 @@
 package graft.snapshots
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Iceberg-semantics snapshot store over plain Parquet.
@@ -10,13 +8,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reproduces the semantics the north rule needs from "Iceberg tables":
   * immutable per-snapshot data files, a versioned JSON metadata log
   * (`metadata/v<N>.json` = snapshot id, parent id, table→path manifest,
-  * per-partition lineage + metrics), and an ATOMIC commit: data is written
-  * to a staging dir first, the metadata file is written to `.tmp` and
-  * renamed into place last — readers either see v<N> fully or not at all.
-  * A killed run resumes from the highest committed version (reference
-  * analog: the `oldmetadata` rename commit marker + skip-if-exists resume,
+  * per-partition lineage + metrics + props such as the bloom-sidecar
+  * version manifest), and an ATOMIC commit: data is written to a staging
+  * path first, the metadata file is written to `.tmp` and renamed into
+  * place last — readers either see v<N> fully or not at all. A killed run
+  * resumes from the highest committed version (reference analog: the
+  * `oldmetadata` rename commit marker + skip-if-exists resume,
   * MetadatafileGeneratorRunnable.java:105-110,150-156). The API is shaped
   * so a real Iceberg catalog (commit = CAS on the catalog pointer) drops in.
+  *
+  * ALL filesystem access rides the [[Storage]] seam (Hadoop FileSystem by
+  * default): `root` may be a local dir in the sandbox or an hdfs:/s3a:
+  * URI on a cluster, and executors reach the same paths (blob sidecars
+  * are written from the tasks that build them, never through the driver —
+  * the store is Serializable).
   *
   * Every write (table job, blob, publish rename) is wrapped in a bounded
   * RETRY with backoff — on distributed storage a transient IO error must
@@ -28,17 +33,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * publish re-renames the same content.
   *
   * Scale note: one snapshot dir per round, each table written with its own
-  * partitioning; metadata JSON stays O(tables + partitions), never O(rows).
-  * Blob reads/writes are executor-callable (the store is Serializable and
-  * paths are shared storage): bloom sidecars are written from the tasks
-  * that build them, never through the driver.
+  * partitioning; metadata JSON stays O(tables + partitions + shards),
+  * never O(rows).
   */
 class SnapshotStore(val root: String,
                     val retryAttempts: Int = 5,
-                    val retryBackoffMs: Long = 1000L) extends Serializable {
-  private def metaDir: Path = Paths.get(root, "metadata")
-  private def dataDir(v: Int, table: String): Path =
-    Paths.get(root, "data", s"v$v", table)
+                    val retryBackoffMs: Long = 1000L,
+                    val storage: Storage = new HadoopStorage) extends Serializable {
+  private def metaDir: String = s"$root/metadata"
+  private def dataDir(v: Int, table: String): String = s"$root/data/v$v/$table"
 
   /** Bounded retry with backoff around a transient-failure-prone storage
     * operation. `op` must be idempotent (all callers here are). */
@@ -60,18 +63,14 @@ class SnapshotStore(val root: String,
   }
 
   /** Atomic rename, seam for fault-injection in tests. */
-  protected def moveAtomic(src: Path, dst: Path): Unit =
-    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  protected def moveAtomic(src: String, dst: String): Unit =
+    storage.moveAtomic(src, dst)
 
   def currentVersion: Option[Int] = {
-    if (!Files.isDirectory(metaDir)) return None
-    val st = Files.list(metaDir)
-    val vs = try {
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d+\\.json") => s.stripPrefix("v").stripSuffix(".json").toInt }
-        .toSeq
-    } finally st.close() // called several times per round — don't leak FDs
+    val vs = storage.list(metaDir).collect {
+      case s if s.matches("v\\d+\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt
+    }
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -90,9 +89,9 @@ class SnapshotStore(val root: String,
       val p = dataDir(v, name)
       Future {
         withRetry(s"table write $name/v$v") {
-          df.write.mode("overwrite").parquet(p.toString)
+          df.write.mode("overwrite").parquet(p)
         }
-        name -> p.toString
+        name -> p
       }
     }
     futs.map(Await.result(_, Duration.Inf)).toMap
@@ -103,7 +102,7 @@ class SnapshotStore(val root: String,
   def publish(v: Int, manifest: Map[String, String],
               metrics: Map[String, Long] = Map.empty,
               props: Map[String, String] = Map.empty): Unit = {
-    Files.createDirectories(metaDir)
+    storage.mkdirs(metaDir)
     val parent = currentVersion.filter(_ < v)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json =
@@ -115,9 +114,9 @@ class SnapshotStore(val root: String,
          |  "props": {${props.map { case (k, s) => s"${jstr(k)}: ${jstr(s)}" }.mkString(", ")}}
          |}""".stripMargin
     withRetry(s"publish v$v") {
-      val tmp = metaDir.resolve(s"v$v.json.tmp")
-      Files.writeString(tmp, json)
-      moveAtomic(tmp, metaDir.resolve(s"v$v.json"))
+      val tmp = s"$metaDir/v$v.json.tmp"
+      storage.writeString(tmp, json)
+      moveAtomic(tmp, s"$metaDir/v$v.json")
     }
   }
 
@@ -137,30 +136,45 @@ class SnapshotStore(val root: String,
   def read(spark: SparkSession, name: String, v: Option[Int] = None): DataFrame = {
     val ver = v.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    spark.read.parquet(dataDir(ver, name).toString)
+    spark.read.parquet(dataDir(ver, name))
   }
 
   def readMetrics(v: Int): Map[String, Long] = {
-    val txt = Files.readString(metaDir.resolve(s"v$v.json"))
+    val txt = storage.readString(s"$metaDir/v$v.json")
     val m = """"metrics": \{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
     """"([^"]+)": (-?\d+)""".r.findAllMatchIn(m).map(g => g.group(1) -> g.group(2).toLong).toMap
+  }
+
+  /** String props embedded at publish time (e.g. the per-shard bloom-blob
+    * version manifest) — O(props) metadata, read once per round. */
+  def readProps(v: Int): Map[String, String] = {
+    val txt = storage.readString(s"$metaDir/v$v.json")
+    // props is the last single-line object in the JSON; greedy .* stops at
+    // that line's closing brace (the outer object's brace is on its own line)
+    val m = """"props": \{(.*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([^"]+)": "((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m)
+      .map { g =>
+        val unescaped = """\\(.)""".r.replaceAllIn(g.group(2),
+          mm => java.util.regex.Matcher.quoteReplacement(mm.group(1)))
+        g.group(1) -> unescaped
+      }.toMap
   }
 
   /** Write an opaque sidecar blob (e.g. a serialized BloomFilter) tied to v.
     * Safe to call from executor tasks (tmp name is salted per attempt so
     * concurrent/retried tasks never collide; the rename is atomic). */
   def writeBlob(v: Int, name: String, bytes: Array[Byte]): Unit = {
-    val dir = Paths.get(root, "blobs", s"v$v")
+    val dir = s"$root/blobs/v$v"
     withRetry(s"blob write $name/v$v") {
-      Files.createDirectories(dir)
-      val tmp = dir.resolve(s"$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      Files.write(tmp, bytes)
-      try moveAtomic(tmp, dir.resolve(name))
-      catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
+      storage.mkdirs(dir)
+      val tmp = s"$dir/$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
+      storage.writeBytes(tmp, bytes)
+      try moveAtomic(tmp, s"$dir/$name")
+      catch { case e: Throwable => storage.deleteRec(tmp); throw e }
     }
   }
   def readBlob(v: Int, name: String): Array[Byte] =
-    Files.readAllBytes(Paths.get(root, "blobs", s"v$v", name))
+    storage.readBytes(s"$root/blobs/v$v/$name")
   def blobExists(v: Int, name: String): Boolean =
-    Files.exists(Paths.get(root, "blobs", s"v$v", name))
+    storage.exists(s"$root/blobs/v$v/$name")
 }

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 import graft.canon.UrlCanon
+import graft.functions.{BloomDesc, BloomRegistry}
 import graft.functions.bloomfns.bloom_probe
+import graft.snapshots.SnapshotStore
 
 /** The bucket-aligned bloom contract the frontier engine depends on:
   * partition-wise-built filters (partition id == seen-table bucket id)
@@ -11,7 +13,10 @@ import graft.functions.bloomfns.bloom_probe
   * delta-insertable into a prior blob, and bucket routing must agree
   * between the build side (HashPartitioning/bucketBy = pmod(murmur3, n))
   * and the probe side (pmod(hash(canon), n)) and executor-side Scala
-  * (UrlCanon.bucketOf). */
+  * (UrlCanon.bucketOf). The probe path is the PRODUCTION one: sidecar
+  * blobs in a SnapshotStore, a broadcast version manifest (BloomDesc) and
+  * lazily-loaded executor-cached filters (BloomRegistry) — no filter
+  * bytes through the driver. */
 class BloomSpec extends SparkSuite {
   import spark.implicits._
 
@@ -42,25 +47,43 @@ class BloomSpec extends SparkSuite {
     arr
   }
 
+  /** Persist built shards as v0 sidecar blobs of a fresh store and return
+    * the descriptor a round would broadcast. */
+  private def storeShards(urls: Seq[String]): BloomDesc = {
+    val root = java.nio.file.Files.createTempDirectory("bloom-store").toString
+    val store = new SnapshotStore(root)
+    val shards = buildShards(urls)
+    val vers = shards.zipWithIndex.map { case (bf, k) =>
+      if (bf == null) -1
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        store.writeBlob(0, s"seen.bloom.$k", bos.toByteArray)
+        0
+      }
+    }
+    BloomDesc(store, vers)
+  }
+
   test("no false negatives: every inserted key probes true through BloomProbe") {
     val urls = (0 until 5000).map(i => s"http://host-$i.example.org/p/$i")
-    val blooms = spark.sparkContext.broadcast(buildShards(urls))
+    val desc = spark.sparkContext.broadcast(storeShards(urls))
     val misses = urls.toDF("canon")
-      .filter(!bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), blooms))
+      .filter(!bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), desc))
       .count()
     assert(misses === 0, "bloom false negative — dedup fast path is broken")
-    blooms.destroy()
+    desc.destroy()
   }
 
   test("probe selectivity: most absent keys probe false (fpp sane)") {
     val urls = (0 until 5000).map(i => s"http://host-$i.example.org/p/$i")
-    val blooms = spark.sparkContext.broadcast(buildShards(urls))
+    val desc = spark.sparkContext.broadcast(storeShards(urls))
     val absent = (0 until 5000).map(i => s"http://other-$i.example.net/q/$i")
     val falsePos = absent.toDF("canon")
-      .filter(bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), blooms))
+      .filter(bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), desc))
       .count()
     assert(falsePos < 500, s"fpp ${falsePos / 5000.0} — filter useless")
-    blooms.destroy()
+    desc.destroy()
   }
 
   test("bucket routing agrees: writer partition == probe shard == bucketOf") {
@@ -100,15 +123,14 @@ class BloomSpec extends SparkSuite {
     }
   }
 
-  test("executor-written sidecars: latest committed blobs cover the whole seen set") {
+  test("executor-written sidecars: manifest-addressed blobs cover the whole seen set") {
     // end-to-end over the engine: blobs are written FROM the building
-    // tasks (never collected to the driver) and untouched shards are
-    // carried forward by reference — the walk-back read must still cover
-    // every seen canon with zero false negatives after several rounds of
-    // delta inserts
+    // tasks (never collected to the driver), untouched shards are carried
+    // forward by reference, and each snapshot's bloom_vers manifest must
+    // point at exactly the latest committed blob per shard (no filesystem
+    // walk-back anywhere) with zero false negatives over the seen set
     import graft.frontier.{EngineConfig, FrontierEngine}
     import graft.model.DocSynth
-    import graft.snapshots.SnapshotStore
     val shards = 8
     val root = java.nio.file.Files.createTempDirectory("bloom-exec").toString
     val store = new SnapshotStore(root)
@@ -120,26 +142,55 @@ class BloomSpec extends SparkSuite {
     engine.run(docs, DocSynth.seeds(cfg), 5)
     val last = store.currentVersion.get
     assert(last >= 3, "crawl too short to exercise delta merges")
-    // walk-back: latest committed blob version per shard
-    val latest = Array.tabulate(shards) { k =>
-      (last to 0 by -1).find(v => store.blobExists(v, s"seen.bloom.$k"))
+    // the manifest must equal an exhaustive walk-back over the blob files
+    val manifest = store.readProps(last)("bloom_vers").split(",").map(_.toInt)
+    val walkBack = Array.tabulate(shards) { k =>
+      (last to 0 by -1).find(v => store.blobExists(v, s"seen.bloom.$k")).getOrElse(-1)
     }
+    assert(manifest.toSeq === walkBack.toSeq,
+      "bloom_vers manifest disagrees with the blobs actually on disk")
     val seen = engine.seenSet().select($"canon").as[String].collect()
     assert(seen.nonEmpty)
     seen.foreach { c =>
       val k = UrlCanon.bucketOf(c, shards)
-      val bf = latest(k).map(v => BloomFilter.readFrom(store.readBlob(v, s"seen.bloom.$k")))
-      assert(bf.isDefined, s"shard $k has seen canons but no sidecar")
-      assert(bf.get.mightContainLong(UrlCanon.urlKey64(c)), s"false negative for $c in shard $k")
+      assert(manifest(k) >= 0, s"shard $k has seen canons but no sidecar")
+      val bf = BloomFilter.readFrom(store.readBlob(manifest(k), s"seen.bloom.$k"))
+      assert(bf.mightContainLong(UrlCanon.urlKey64(c)), s"false negative for $c in shard $k")
     }
   }
 
   test("null shard slots (no filter yet) probe false — provably-new is exact") {
-    val blooms = spark.sparkContext.broadcast(Array.fill[BloomFilter](nShards)(null))
+    val root = java.nio.file.Files.createTempDirectory("bloom-empty").toString
+    val desc = spark.sparkContext.broadcast(
+      BloomDesc(new SnapshotStore(root), Array.fill(nShards)(-1)))
     val n = (0 until 100).map(i => s"u$i").toDF("canon")
-      .filter(bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), blooms))
+      .filter(bloom_probe(pmod(hash($"canon"), lit(nShards)), xxhash64($"canon"), desc))
       .count()
     assert(n === 0)
-    blooms.destroy()
+    desc.destroy()
+  }
+
+  test("registry: blobs load once per (shard, version) and stay warm across descs") {
+    // two descs over the same store+versions (as consecutive rounds with
+    // untouched shards would broadcast) must share cached instances — the
+    // cross-round warmth that replaces the per-round driver re-broadcast
+    BloomRegistry.clear()
+    val urls = (0 until 500).map(i => s"http://w-$i.example.org/$i")
+    val desc = storeShards(urls)
+    val touched = desc.vers.zipWithIndex.filter(_._1 >= 0).map(_._2)
+    assert(touched.nonEmpty)
+    val a = BloomRegistry.load(desc, touched.head)
+    val before = BloomRegistry.cachedCount
+    val again = BloomRegistry.load(desc.copy(), touched.head)
+    assert(a eq again, "same (root, shard, version) must hit the cache")
+    assert(BloomRegistry.cachedCount === before, "cache grew on a pure hit")
+    // a NEW version of the same shard is a different immutable entry
+    val bos = new java.io.ByteArrayOutputStream()
+    BloomFilter.create(64, 512).writeTo(bos)
+    desc.store.writeBlob(1, s"seen.bloom.${touched.head}", bos.toByteArray)
+    val v1 = desc.vers.clone(); v1(touched.head) = 1
+    val b = BloomRegistry.load(BloomDesc(desc.store, v1), touched.head)
+    assert(!(a eq b), "new blob version must not alias the old cache entry")
+    assert(BloomRegistry.cachedCount === before + 1)
   }
 }

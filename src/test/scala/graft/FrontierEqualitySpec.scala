@@ -76,7 +76,8 @@ class FrontierEqualitySpec extends SparkSuite {
     // Injected by running round 3 fully and deleting v3.json — exactly the
     // state a kill between the commit wave and the rename leaves. The
     // resumed run must (a) not see any round-3 state (round<=v filter,
-    // blob walk-back, currentVersion), (b) re-run round 3 identically,
+    // v2's bloom_vers manifest, currentVersion), (b) re-run round 3
+    // identically (rewriting the v3 blobs with identical bytes),
     // (c) tolerate the now-DUPLICATED round-3 seen rows (LEFT ANTI dedup
     // is dup-safe) for the rest of the crawl.
     val storeA = freshStore(); val storeB = freshStore()

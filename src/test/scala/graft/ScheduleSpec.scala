@@ -26,7 +26,7 @@ class ScheduleSpec extends SparkSuite {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select($"canon", $"host", $"depth", $"seq", $"rank")
         .as[(String, String, Int, Long, Int)].collect().sortBy(e => (e._2, e._5))
-    val a = norm(Schedulers.windowTopB(frontier, budget, 8))
+    val a = norm(Schedulers.windowTopB(frontier, budget))
     val b = norm(Schedulers.heapTopB(frontier, budget))
     assert(a.toSeq === b.toSeq)
     // the hot host is cut to exactly B

@@ -43,8 +43,7 @@ class SnapshotSpec extends SparkSuite {
     val root = Files.createTempDirectory("snap-retry").toString
     val failures = new java.util.concurrent.atomic.AtomicInteger(2)
     val store = new SnapshotStore(root, retryAttempts = 5, retryBackoffMs = 1L) {
-      override protected def moveAtomic(src: java.nio.file.Path,
-                                        dst: java.nio.file.Path): Unit = {
+      override protected def moveAtomic(src: String, dst: String): Unit = {
         if (failures.getAndDecrement() > 0)
           throw new java.io.IOException("injected transient failure")
         super.moveAtomic(src, dst)
@@ -61,11 +60,28 @@ class SnapshotSpec extends SparkSuite {
   test("a persistent storage failure still surfaces after retryAttempts") {
     val root = Files.createTempDirectory("snap-retry2").toString
     val store = new SnapshotStore(root, retryAttempts = 3, retryBackoffMs = 1L) {
-      override protected def moveAtomic(src: java.nio.file.Path,
-                                        dst: java.nio.file.Path): Unit =
+      override protected def moveAtomic(src: String, dst: String): Unit =
         throw new java.io.IOException("storage down")
     }
     intercept[java.io.IOException] { store.writeBlob(0, "b", Array[Byte](1)) }
+  }
+
+  test("seen-table bucket count is pinned: resuming with a different seenShards fails loudly") {
+    // the bucket count is physical layout — re-registering with a new
+    // count would advertise the wrong HashPartitioning and silently
+    // mis-co-locate the storage-partitioned dedup join (seen URLs
+    // re-crawled with no error)
+    import graft.frontier.SeenTable
+    val loc = Files.createTempDirectory("seen-buckets").toString + "/seen"
+    val t8 = new SeenTable(spark, loc, 8)
+    t8.append(Seq("http://a.example.org/1", "http://a.example.org/2").toDF("canon"), 0)
+    assert(t8.upTo(0).count() === 2)
+    val t16 = new SeenTable(spark, loc, 16)
+    val e = intercept[IllegalArgumentException] { t16.ensure() }
+    assert(e.getMessage.contains("BUCKETS"))
+    intercept[IllegalArgumentException] {
+      t16.append(Seq("http://a.example.org/3").toDF("canon"), 1)
+    }
   }
 
   test("props survive JSON escaping") {
