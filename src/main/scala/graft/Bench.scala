@@ -32,6 +32,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // commit algorithm v2: task output renames directly into the final
+      // dir (v1 renames twice: task->job staging->final). The crawl's
+      // per-round commit wave writes 5 tables x 32 tasks; halving the
+      // rename count matters because the sandbox's hypervisor makes
+      // syscall-heavy phases spin on preempted-lock-holder vCPUs at 32
+      // threads (measured: 80-94% system CPU during 32-core crawl rounds
+      // in bad windows, own-JVM stime, zero steal/iowait/reclaim)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // shuffle/spill on the RAM disk, not the sandbox's one virtio disk:
     // dirty-page writeback to the virtual disk stalls the whole box in
     // D-state (measured: 60-90% system time, 2-10x round slowdowns whose
@@ -214,16 +222,26 @@ object Bench {
   // threshold 9: the host idles around load 5-8 from external tenants (a
   // constant tax both levels share); only the big spikes (13-25) invalidate
   // a rep, so waiting for a perfectly-quiet host would just burn the budget
-  private def quietWait(maxWaitMs: Long = 90000, loadThreshold: Double = 9.0): Unit = {
+  private def quietWait(maxWaitMs: Long = 90000, loadThreshold: Double = 9.0,
+                        stealThreshold: Double = 3.0): Unit = {
     val deadline = System.currentTimeMillis() + maxWaitMs
     while (System.currentTimeMillis() < deadline && quietBudgetMs.get() > 0) {
       val load1 =
         try Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
           .split(" ")(0).toDouble
         catch { case _: Throwable => 0.0 }
-      if (load1 <= loadThreshold) return
-      System.err.println(f"[bench] host load $load1%.1f > $loadThreshold%.0f — waiting for quiet")
-      Thread.sleep(10000)
+      // DIRECT steal sampling besides loadavg: the measured failure mode is
+      // hypervisor preemption bursts (steal 8-12% with sys% amplification
+      // 20-45% on 32-vCPU crawls) that a 1-min load average reacts to far
+      // too slowly; a 2 s jiffies delta sees the burst immediately. 8-core
+      // levels fit inside the host's spare capacity (steal ~1%) — it is
+      // the wide levels this gate protects.
+      val j0 = cpuJiffies; Thread.sleep(2000); val j1 = cpuJiffies
+      val steal = pctOf(j0, j1, 7)
+      if (load1 <= loadThreshold && steal <= stealThreshold) return
+      System.err.println(f"[bench] host load $load1%.1f (>$loadThreshold%.0f?) " +
+        f"steal $steal%.1f%% (>$stealThreshold%.0f%%?) — waiting for quiet")
+      Thread.sleep(8000)
       quietBudgetMs.addAndGet(-10000)
     }
   }
@@ -242,6 +260,19 @@ object Bench {
       """MemAvailable:\s+(\d+) kB""".r.findFirstMatchIn(s)
         .map(_.group(1).toLong / 1048576.0).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
+  /** Whole-box CPU jiffies (user,nice,system,idle,iowait,irq,softirq,steal,...)
+    * — deltas over a phase expose the hypervisor pathology that poisons
+    * 32-core reps: system-CPU share spikes to 80-94% (own-JVM kernel
+    * spinning, zero steal) when host neighbors preempt lock-holding
+    * vCPUs during syscall-heavy crawl phases. */
+  private def cpuJiffies: Array[Long] =
+    try Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    catch { case _: Throwable => Array.fill(10)(0L) }
+  private def pctOf(a: Array[Long], b: Array[Long], idx: Int): Double = {
+    val tot = (b.sum - a.sum).toDouble
+    if (tot <= 0) -1.0 else (b(idx) - a(idx)) * 100.0 / tot
+  }
 
   /** Run one frontier level in THIS JVM (invoked in a fresh fork per level —
     * GC/JIT/session state of one level must not contaminate the other, the
@@ -260,14 +291,16 @@ object Bench {
     // untimed warmup (JIT + codegen) inside the level's own JVM
     frontierRun(cores,
       DocSynth.Config(nHosts = 100, pagesPerHost = 20, hotFactor = 4), 8, 2)
-    val (loadPre, memPre) = (loadAvg, memAvailGb)
+    val (loadPre, memPre, j0) = (loadAvg, memAvailGb, cpuJiffies)
     val (p, t) = frontierRun(cores, webCfgOf(size), webBudget, size.rounds)
-    val (loadMid, memMid) = (loadAvg, memAvailGb)
+    val (loadMid, memMid, j1) = (loadAvg, memAvailGb, cpuJiffies)
     val (kn, kt) = frontierKernel(cores, size.kernel)
-    val (loadPost, memPost) = (loadAvg, memAvailGb)
+    val (loadPost, memPost, j2) = (loadAvg, memAvailGb, cpuJiffies)
     println(s"""GRAFT_LEVEL_RESULT {"cores":$cores,"size":"$sizeName","urls":$p,"secs":$t,"kernel_urls":$kn,"kernel_secs":$kt,""" +
       f""""load_pre":$loadPre%.1f,"load_mid":$loadMid%.1f,"load_post":$loadPost%.1f,""" +
-      f""""mem_gb_pre":$memPre%.1f,"mem_gb_mid":$memMid%.1f,"mem_gb_post":$memPost%.1f}""")
+      f""""mem_gb_pre":$memPre%.1f,"mem_gb_mid":$memMid%.1f,"mem_gb_post":$memPost%.1f,""" +
+      f""""sys_pct_crawl":${pctOf(j0, j1, 2)}%.1f,"user_pct_crawl":${pctOf(j0, j1, 0)}%.1f,""" +
+      f""""steal_pct_crawl":${pctOf(j0, j1, 7)}%.1f,"sys_pct_kernel":${pctOf(j1, j2, 2)}%.1f}""")
   }
 
   /** Fork a fresh JVM (same classpath + module opens) for one phase. The
