@@ -147,7 +147,11 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS_XL", "60000").toInt,
     sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt,
     sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL", "25000000").toLong,
-    1)
+    // two reps: an 8-minute 32-core rep rarely dodges every preemption
+    // burst (run-3's single xl rep caught one on each side); a second
+    // chance under min-of-reps costs nothing when the driver budget
+    // cuts it (the result line already carries the big pair)
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_XL", "2").toInt)
   // 20 links/doc (real pages average well above this): per-round compute —
   // link explode, resolve, canonicalize, dedup — must dominate the fixed
   // per-action latency for the scaling measurement to see the engine
