@@ -381,11 +381,23 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val small = pendingCount <= cfg.broadcastScheduleLimit
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val docsLinks = linkGraph(docs)
-    val fetched = docsLinks.join(maybeBc(sched), docsLinks("doc_id") === sched("canon"))
-      .select($"canon", $"host", $"depth", $"seq", $"fetchTime", $"links")
+    // fetched is cached SLIM — without the links arrays. The arrays are
+    // consumed exactly once (the explode below), so caching them bought
+    // nothing and cost everything: at the xl bench web the array-bearing
+    // cache overflowed storage memory and churned ~5 GB of spill through
+    // spark.local.dir per crawl (measured — the dominant source of the
+    // 32-thread tmpfs contention), and at 100 TB it would be the round's
+    // largest memory consumer. The one extra pass this costs is a
+    // column-pruned scan of the slim links projection + a re-broadcast
+    // join (explode+resolve+canon of 12M links measured 0.6 s at 32
+    // cores) — the links arrays now STREAM through the explode without
+    // ever being materialized in cache.
+    def fetchJoin = docsLinks.join(maybeBc(sched),
+      docsLinks("doc_id") === sched("canon"))
+    val fetched = fetchJoin
+      .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
       .cache()
-    val hitLog = fetched.select($"canon", $"host", $"depth", $"seq", $"fetchTime")
-      .withColumn("status", lit(200))
+    val hitLog = fetched.withColumn("status", lit(200))
     val missLog = sched
       .join(maybeBc(fetched.select($"canon")), Seq("canon"), "left_anti")
       .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
@@ -399,7 +411,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // 2-column frame — caching the WIDE gated union instead cost 25 s of
     // columnar build at the bench web, 7× the uncached recompute of the tail
     val linksObs = Observation(s"links_${obsToken}_r$r")
-    val links = fetched
+    val links = fetchJoin
       .select($"canon".as("doc_id"), $"depth", explode($"links").as("ref"))
       .withColumn("target", resolve_url($"doc_id", $"ref"))
       .filter($"target".isNotNull)
