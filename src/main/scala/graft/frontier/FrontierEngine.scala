@@ -101,13 +101,15 @@ case class EngineConfig(
   *     ≤ partitions×B rows to the exact per-host top-B window in phase 2
   *     (Schedulers.windowTopB).
   *   - the corpus is projected ONCE PER CRAWL to a (doc_id, links) link
-  *     graph; per-round fetch joins broadcast the schedule (≤ hosts*B
-  *     rows) against that slim table — never the 100 TB doc table. Both
-  *     the schedule and the host_next joins are ADAPTIVE: they broadcast
-  *     only below a size bound known from the PREVIOUS round's committed
-  *     metrics (exact — no extra count job), and degrade to shuffled
-  *     joins past it (a 10^8-row host_next must never be collected to the
-  *     driver).
+  *     graph, written as a BUCKETED table CLUSTERED BY doc_id; per-round
+  *     fetch joins touch that slim table — never the 100 TB doc table.
+  *     Both the schedule and the host_next joins are ADAPTIVE: they
+  *     broadcast only below a size bound known from the PREVIOUS round's
+  *     committed metrics (exact — no extra count job); past it the fetch
+  *     join is STORAGE-PARTITIONED — the bucketed graph side scans in
+  *     place and only the skinny schedule shuffles (SHUFFLE_HASH build),
+  *     so per-round fetch shuffle volume is O(schedule), never O(corpus),
+  *     and a 10^8-row schedule is never collected to the driver.
   *   - per-round serial Spark actions are the crawl's Amdahl term (the
   *     fixed per-job latency is identical at every cluster size): the
   *     round runs exactly ONE collect-style action (the 64-row per-shard
@@ -217,28 +219,71 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * Every doc row is kept (empty links array for link-less docs) so the
     * fetch join's hit/404 split is unchanged. Persisted under the snapshot
     * root: a resumed crawl reuses it, and at 100 TB it is the crawl's only
-    * full-corpus pass (~3% of corpus bytes thereafter). */
+    * full-corpus pass (~3% of corpus bytes thereafter).
+    *
+    * Written as a BUCKETED catalog table CLUSTERED BY doc_id (same move as
+    * SeenTable): once the pending set outgrows the schedule-broadcast
+    * bound, the per-round fetch join would otherwise shuffle the WHOLE
+    * link-graph table by doc_id — the crawl's largest table, re-shuffled
+    * twice per round (the links scan and the crawl-log hit scan). With the
+    * bucketing metadata the graph side scans in place and ONLY the skinny
+    * schedule shuffles: per-round fetch shuffle volume is O(schedule),
+    * never O(corpus). Bucket count = seenShards = shuffle.partitions, so
+    * the scan's HashPartitioning satisfies the join's distribution exactly. */
   private def linkGraph(docs: DataFrame): DataFrame = {
     val path = s"${store.root}/links"
+    // table name carries the path identity AND the bucket count, so a graph
+    // rebuilt under a different count can never hit a stale catalog entry
+    val name = {
+      val h = java.lang.Integer.toHexString(path.hashCode)
+      s"graft_links_${h}_${path.length}_b${cfg.seenShards}"
+    }
     // crash-safe like every other persisted artifact: write to a temp dir,
     // rename into place atomically. A bare existence check trusted a
     // partial dir left by a crash mid-write — a resumed crawl would then
     // silently read an incomplete link graph (resume ≡ continue invariant).
-    if (!store.storage.exists(s"$path/_SUCCESS")) {
+    var built = false
+    if (!store.storage.exists(s"$path/_SUCCESS")) timed("linkgraph") {
       val tmp = s"${store.root}/.links.tmp"
+      val stage = name + "_stage"
       store.storage.deleteRec(tmp)
       store.storage.deleteRec(path)
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
       docs.select($"doc_id",
           transform(filter($"spans", sp => sp("kind") === "link"),
             sp => sp("media_ref")).as("links"))
-        .write.mode("overwrite").parquet(tmp)
+        .repartition(cfg.seenShards, $"doc_id")
+        .write.format("parquet")
+        .bucketBy(cfg.seenShards, "doc_id").sortBy("doc_id")
+        .option("path", tmp)
+        .saveAsTable(stage)
+      spark.sql(s"DROP TABLE $stage") // external: the files survive the drop
+      // bucket count is PHYSICAL layout (file names carry bucket ids):
+      // registering a resumed store under a different count would silently
+      // mis-co-locate the fetch join — persist the count INSIDE the staged
+      // dir so the marker rides the atomic rename (a crash can never
+      // publish a graph without it), and fail loudly on mismatch
+      store.storage.writeString(s"$tmp/_buckets", cfg.seenShards.toString)
       store.storage.moveAtomic(tmp, path)
+      built = true
     }
-    spark.read.parquet(path)
+    val onDisk = store.storage.readString(s"$path/_buckets").trim.toInt
+    require(onDisk == cfg.seenShards,
+      s"link graph at $path was bucketed INTO $onDisk BUCKETS but the engine " +
+      s"is configured with seenShards=${cfg.seenShards} — rewrite the link " +
+      "graph to change the bucket count")
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"""CREATE TABLE $name (doc_id STRING, links ARRAY<STRING>)
+           |USING PARQUET
+           |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO ${cfg.seenShards} BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    else if (built) spark.catalog.refreshTable(name) // rebuilt under an existing entry
+    spark.table(name)
   }
 
   /** Snapshot v0: canonical, deduped, robots-gated seed frontier. */
-  def init(seeds: Seq[String]): Unit = {
+  def init(seeds: Seq[String]): Unit = timed("init") {
     val canonSeeds = seeds.map(UrlCanon.canonicalize).distinct
       .filter(u => DocSynth.robotsAllows(UrlCanon.hostOf(u), UrlCanon.pathOf(u)))
       .sorted
@@ -379,7 +424,12 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val sched = scheduled.select($"canon", $"host", $"depth", $"seq",
                                  $"fetchTime", $"rank", $"delay")
     val small = pendingCount <= cfg.broadcastScheduleLimit
-    def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // past the broadcast bound the fetch join is storage-partitioned: the
+    // bucketed link-graph side scans in place and the schedule builds a
+    // hash table (SHUFFLE_HASH — the schedule is the bounded side; an SMJ
+    // would re-sort it every round), so only O(schedule) rows shuffle
+    def maybeBc(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     val docsLinks = linkGraph(docs)
     // fetched is cached SLIM — without the links arrays. The arrays are
     // consumed exactly once (the explode below), so caching them bought

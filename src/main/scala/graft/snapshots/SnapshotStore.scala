@@ -88,9 +88,12 @@ class SnapshotStore(val root: String,
     val futs = tables.map { case (name, df) =>
       val p = dataDir(v, name)
       Future {
+        val t0 = System.nanoTime()
         withRetry(s"table write $name/v$v") {
           df.write.mode("overwrite").parquet(p)
         }
+        if (sys.env.contains("SPARK_GRAFT_PHASE_LOG"))
+          System.err.println(f"[phase]   write $name/v$v: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         name -> p
       }
     }

@@ -105,6 +105,28 @@ class FrontierEqualitySpec extends SparkSuite {
     docs.unpersist()
   }
 
+  test("storage-partitioned fetch path (schedule past broadcast bound) ≡ oracle") {
+    // broadcastScheduleLimit=0 forces every round through the bucketed
+    // link-graph join (shuffle_hash schedule build) and broadcastHostLimit=0
+    // through the shuffled host_next join — the paths a 10^8-pending crawl
+    // runs, which the default config's tiny test webs never reach
+    val store = freshStore()
+    val engine = new FrontierEngine(spark, store,
+      EngineConfig(perHostBudget = budget,
+        broadcastScheduleLimit = 0, broadcastHostLimit = 0))
+    val docs = DocSynth.docs(spark, cfg).toDF().cache()
+    engine.run(docs, DocSynth.seeds(cfg), 5)
+    val sparkLog = engine.crawlLog()
+      .select($"round", $"fetchTime", $"host", $"canon", $"depth", $"seq", $"status")
+      .as[(Int, Long, String, String, Int, Long, Int)].collect().toVector
+    val o = OracleCrawler.crawl(DocSynth.localDocs(cfg), DocSynth.seeds(cfg), budget, 5)
+    assert(sparkLog === o.log.map(e =>
+      (e.round, e.fetchTime, e.host, e.canon, e.depth, e.seq, e.status)),
+      "shuffle-path crawl diverges from oracle")
+    assert(engine.seenSet().select($"canon").as[String].collect().toSet === o.seen)
+    docs.unpersist()
+  }
+
   test("frontier compaction (compactEvery=2) + tiny-bloom rebuild: crawl ≡ oracle") {
     // exercises BOTH rare state paths the default config never hits in 8
     // rounds: the pending-frontier rewrite + base advance (compaction), and

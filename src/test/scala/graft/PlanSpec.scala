@@ -90,6 +90,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Sort "), "seen side re-sorted every round:\n" + p)
   }
 
+  test("fetch join is storage-partitioned: bucketed link-graph side scans in place") {
+    // the 100 TB-corpus question: past the schedule-broadcast bound the
+    // fetch join must shuffle ONLY the skinny schedule — the bucketed
+    // link-graph scan carries HashPartitioning(doc_id, shards) and gets no
+    // Exchange and no Sort (SHUFFLE_HASH build on the schedule side)
+    import graft.frontier.{EngineConfig, FrontierEngine}
+    import graft.model.DocSynth
+    import graft.snapshots.SnapshotStore
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("plan-links").toString
+    val store = new SnapshotStore(root)
+    val engine = new FrontierEngine(spark, store,
+      EngineConfig(perHostBudget = 3, broadcastScheduleLimit = 0))
+    val cfg = DocSynth.Config(nHosts = 8, pagesPerHost = 15, hotFactor = 2,
+      linksPerDoc = 4, seed = 12L)
+    engine.run(DocSynth.docs(spark, cfg).toDF(), DocSynth.seeds(cfg), 2)
+    // recompute the engine's deterministic catalog name for the graph table
+    val path = s"$root/links"
+    val name = s"graft_links_${java.lang.Integer.toHexString(path.hashCode)}_${path.length}_b32"
+    val links = spark.table(name)
+    val sched = spark.range(0, 5000)
+      .select(concat(lit("http://host-"), col("id") % 8,
+        lit(".example.org/p/"), col("id")).as("canon"))
+    val j = links.join(sched.hint("shuffle_hash"), links("doc_id") === col("canon"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), "link-graph scan lost its bucketing:\n" + p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected exactly one Exchange (schedule side), got $exchanges:\n$p")
+    assert(!p.contains("Sort "), "link-graph side re-sorted every round:\n" + p)
+  }
+
   test("frontier gate expressions stay codegen'd (no ScalaUDF in the plan)") {
     import graft.functions.gatefns._
     import graft.functions.urlfns._
