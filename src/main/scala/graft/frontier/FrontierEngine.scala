@@ -25,7 +25,13 @@ case class EngineConfig(
     compactEvery: Int = 16,      // rewrite the full pending frontier every K rounds
     useHeapScheduler: Boolean = false,
     useJoinGate: Boolean = false, // robots via broadcast rules TABLE (vs native expr)
-    broadcastScheduleLimit: Long = 2000000,
+    // pending rows above this ⇒ the fetch join degrades from broadcast to
+    // the storage-partitioned bucketed-graph join. Kept LOW: the broadcast
+    // path collects the schedule through the driver three times per round
+    // (fetch join ×2 + the 404 anti-join), a serial term that grew to
+    // ~100 MB×3 at the old 2M bound, while the shuffle path moves only
+    // O(schedule) rows executor-to-executor
+    broadcastScheduleLimit: Long = 200000,
     broadcastHostLimit: Long = 2000000) // host_next rows above this ⇒ shuffled join
 
 /** BSP URL-frontier + fetch scheduler over interleaved text+media docs.
