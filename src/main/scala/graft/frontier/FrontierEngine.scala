@@ -670,11 +670,21 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seenFut: Future[Unit] = Future {
       timed("seen")(seen.append(freshBuckets, r, prePartitioned = true))
     }
+    // write width FOLLOWS DATA VOLUME (the exact counts are already known
+    // from wave 1 — no extra job): a 10^8-row round writes wide, a 10^4-row
+    // round writes a handful of files instead of a fixed 64+64 — per-round
+    // commit file count is the crawl's biggest syscall surface (64 frontier
+    // files/round x 10^4 rounds is also a real small-file problem on HDFS/
+    // S3). Floor 8 keeps the pre-write compute (the 404 anti-join chains
+    // into the coalesced stage) parallel; ~2M skinny rows per file.
+    def writeWidth(rows: Long): Int =
+      math.max(8, math.min(64, (rows / 2000000L).toInt + 1))
+    val frontierRows = if (isCompaction) math.max(pendingCount, nNew) else nNew
     val manifest = timed("commit") {
       store.writeTables(r,
-        Map("frontier" -> frontierOut,
+        Map("frontier" -> frontierOut.coalesce(writeWidth(frontierRows)),
             "host_next" -> hostNextNew,
-            "crawl_log" -> crawlLogRound,
+            "crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)),
             "lineage" -> lineage))
     }
     val (capOut, versOut) = Await.result(bloomFut, Duration.Inf)
