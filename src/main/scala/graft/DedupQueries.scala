@@ -51,9 +51,12 @@ object DedupQueries {
       import s.implicits._
       val k = 16; val bands = 4; val rows = 4
       // band-join IDs ONLY (shuffling the shingle arrays 4× dominated the
-      // cost); re-attach arrays to the tiny candidate set afterwards
+      // cost); re-attach arrays to the tiny candidate set afterwards.
+      // cached: consumed three times (signature + both verify re-attaches) —
+      // uncached, the scan + shingle transform re-ran per consumer
       val docsSh = t(s, dir, "documents")
         .select($"doc_id", shingles($"text").as("sh"))
+        .cache()
       val banded = docsSh
         .select($"doc_id", minhash($"sh", k).as("sig"))
         .select($"doc_id", posexplode(
@@ -125,8 +128,11 @@ object DedupQueries {
     "d4_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val dfCap = 20
+      // cached: consumed four times (df-count, capped index, both verify
+      // re-attaches) — the shingle transform is the query's scan-side cost
       val docsSh = t(s, dir, "documents")
         .select($"doc_id", shingles($"text").as("sh"))
+        .cache()
       val inv = docsSh.select($"doc_id", explode($"sh").as("g"))
       val kept = inv.groupBy($"g").agg(count(lit(1)).as("df"))
         .filter($"df" <= dfCap).select($"g")

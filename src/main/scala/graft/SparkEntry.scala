@@ -30,9 +30,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ DedupQueries.all ++ PipelineQueries.all ++ MiscQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++ SinkQueries.all
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ DedupQueries.oracles ++ PipelineQueries.oracles ++
-      MiscQueries.oracles ++ StreamingQueries.oracles
+      MiscQueries.oracles ++ StreamingQueries.oracles ++ SinkQueries.oracles
 }
