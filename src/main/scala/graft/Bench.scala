@@ -540,22 +540,28 @@ object Bench {
            |$fastMd
            |Determinism check: URLs processed identical at both levels (asserted).
            |
-           |Reading the numbers: the round-3 engine runs TWO Spark waves per
-           |round (one 64-row metrics action with observe-metrics riding it,
-           |then one concurrent commit wave), joins the exact-dedup candidates
+           |Reading the numbers: the engine runs TWO Spark waves per round
+           |(one 64-row metrics action with observe-metrics riding it, then
+           |one concurrent commit wave), joins the exact-dedup candidates
            |against the BUCKETED seen table storage-partitioned (only the
-           |candidate side shuffles), shares one bucket repartition between
-           |the seen append and the executor-written bloom sidecars, and
-           |prunes the politeness window shuffle-free. What remains fixed per
-           |round is per-stage scheduler/planning/barrier latency (identical
-           |at every core count) plus commit I/O on the shared RAM disk; the
-           |20-links/doc web sizes per-round compute so the measurement sees
-           |the engine rather than the scheduler. The kernel (canonicalize →
-           |fingerprint → exact dedup → politeness windows, no IO, no
-           |per-round barriers) is the cleaner probe of pure compute scaling.
-           |The sandbox host carries 2-4x time-varying interference from
-           |OUTSIDE the sandbox (load >18 with zero local processes,
-           |measured); interleaved min-of-reps at both levels mitigates it.
+           |candidate side shuffles), fetch-joins the schedule against the
+           |BUCKETED once-per-crawl link graph (only the schedule shuffles),
+           |shares one bucket repartition between the seen append and the
+           |executor-written bloom sidecars, and prunes the politeness
+           |window shuffle-free. Every forked level JVM commits its whole
+           |heap at boot (-Xms=-Xmx, AlwaysPreTouch): G1's incremental heap
+           |growth during 32-thread allocation storms was the deterministic
+           |share of earlier 32-core inversions (see INTERFERENCE.md). What
+           |remains fixed per round is per-stage scheduler/planning/barrier
+           |latency (identical at every core count) plus commit I/O on the
+           |shared RAM disk; the 20-links/doc web sizes per-round compute so
+           |the measurement sees the engine rather than the scheduler. The
+           |kernel (canonicalize → fingerprint → exact dedup → politeness
+           |windows, no IO, no per-round barriers) is the cleaner probe of
+           |pure compute scaling. The sandbox host carries 2-4x time-varying
+           |interference from OUTSIDE the sandbox (hypervisor steal bursts,
+           |measured); interleaved min-of-reps at both levels plus per-rep
+           |sys%%/steal%% fingerprints in reps.jsonl mitigate and expose it.
            |""".stripMargin
       val benchDir = new java.io.File("BENCH"); benchDir.mkdirs()
       Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)

@@ -14,6 +14,27 @@ object MiscQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // O1: natural-sort invariant + order-dependent lookup. Reference
+    // ifiles are "naturally ordered upon creation" and reads BINARY-SEARCH
+    // them (TriLongListMap.java:13,94-97: floorEntry over sorted long
+    // keys) — so the operator surface is (a) the per-file sortedness
+    // invariant (inversions must be 0) and (b) the floor lookup that
+    // depends on it. Windows stay partitioned per file — never a global
+    // one-task sort.
+    "o1_sorted_lookup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"file_id").orderBy($"old_offset")
+      t(s, dir, "orders")
+        .select(($"o_orderkey" % 50).as("file_id"), $"o_orderkey".as("old_offset"))
+        .withColumn("prev", lag($"old_offset", 1).over(w))
+        .groupBy($"file_id").agg(
+          count(lit(1)).as("n_entries"),
+          sum(when($"prev" > $"old_offset", 1L).otherwise(0L)).as("inversions"),
+          max(when($"old_offset" <= 77777, $"old_offset")).as("floor_77777"))
+        .orderBy($"file_id")
+    }),
+
     // P9: surgical data-repair rule — one named (file, offset) gets a fixed
     // patched length (reference PrecompressionRunnable.java:119-133 patches
     // record length 8192 at offset 81984113 of one corrupt file)
@@ -193,6 +214,17 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "o1_sorted_lookup" ->
+      """WITH e AS (SELECT o_orderkey % 50 AS file_id, o_orderkey AS old_offset
+        |           FROM orders),
+        |r AS (SELECT file_id, old_offset,
+        |  lag(old_offset) OVER (PARTITION BY file_id ORDER BY old_offset) AS prev
+        |  FROM e)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_entries,
+        |       CAST(sum(CASE WHEN prev > old_offset THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS inversions,
+        |       max(CASE WHEN old_offset <= 77777 THEN old_offset END) AS floor_77777
+        |FROM r GROUP BY file_id ORDER BY file_id""".stripMargin,
     "p9_record_patch" ->
       """SELECT CAST(l_orderkey = 42 AS INT) AS patched_group,
         |       CAST(sum(CASE WHEN l_orderkey = 42 AND l_linenumber = 1
