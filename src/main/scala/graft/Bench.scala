@@ -120,7 +120,17 @@ object Bench {
     *     the fixed per-job latency — the meaningful scaling signal; its
     *     numbers REPLACE the fast pair's in the result line when complete.
     */
-  case class WebSize(name: String, hosts: Int, rounds: Int, kernel: Long, reps: Int)
+  /** minHeapGb: per-tier floor on the forked level's heap. The default
+    * heap scales with the level's core count (aggregate memory scaling
+    * with executor count), but the hash builds of the storage-partitioned
+    * joins also scale with the TIER's data volume — at the xxl web a seen
+    * bucket's build side no longer fits the 8-core level's execution pool
+    * (measured: SparkOutOfMemoryError "not enough memory to build hash
+    * map" in round 2 at 8 g). A real deployment provisions memory to the
+    * corpus at ANY cluster width; raising only the N level's floor makes
+    * T_N faster, so it can never inflate the reported efficiency. */
+  case class WebSize(name: String, hosts: Int, rounds: Int, kernel: Long,
+                     reps: Int, minHeapGb: Int = 0)
   val fastSize = WebSize("fast",
     sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS_FAST", "5000").toInt,
     2, sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL_FAST", "10000000").toLong,
@@ -152,6 +162,18 @@ object Bench {
     // chance under min-of-reps costs nothing when the driver budget
     // cuts it (the result line already carries the big pair)
     sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_XL", "2").toInt)
+  // FOURTH opportunistic tier, 3x xl's per-round volume (18M docs, ~90M
+  // URLs through the pipeline): with the fixed per-round cost measured
+  // constant across tiers, each 3x volume step raises strong-scaling
+  // efficiency toward the 10^10-URL regime (0.109 -> 0.326 -> 0.513 at
+  // fast/big/xl). One rep — attempted only after every smaller tier is
+  // banked, so a driver timeout costs nothing.
+  val xxlSize = WebSize("xxl",
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS_XXL", "180000").toInt,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL", "25000000").toLong,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_XXL", "1").toInt,
+    minHeapGb = 24)
   // 20 links/doc (real pages average well above this): per-round compute —
   // link explode, resolve, canonicalize, dedup — must dominate the fixed
   // per-action latency for the scaling measurement to see the engine
@@ -289,8 +311,9 @@ object Bench {
       case "fast" => fastSize
       case "big"  => bigSize
       case "xl"   => xlSize
+      case "xxl"  => xxlSize
       case other  => throw new IllegalArgumentException(
-        s"unknown frontier level size '$other' (expected fast|big|xl)")
+        s"unknown frontier level size '$other' (expected fast|big|xl|xxl)")
     }
     // untimed warmup (JIT + codegen) inside the level's own JVM
     frontierRun(cores,
@@ -355,8 +378,11 @@ object Bench {
     * shared 8g heap). Returns (crawlUrls, crawlSecs, kernelUrls, kernelSecs). */
   private def forkLevel(cores: Int, sizeName: String,
                         rep: Int): (Long, Double, Long, Double) = {
+    val floor = Seq(fastSize, bigSize, xlSize, xxlSize)
+      .find(_.name == sizeName).map(_.minHeapGb).getOrElse(0)
     val heap = sys.env.get("SPARK_GRAFT_LEVEL_MEM")
-      .map(_.stripSuffix("g").toInt).getOrElse(math.max(8, cores))
+      .map(_.stripSuffix("g").toInt)
+      .getOrElse(math.max(math.max(8, cores), floor))
     val out = forkJava(heap, Seq("--frontier-level", cores.toString, sizeName))
     val m = ("""GRAFT_LEVEL_RESULT \{"cores":\d+,"size":"[a-z]+","urls":(\d+),"secs":([0-9.E-]+),""" +
       """"kernel_urls":(\d+),"kernel_secs":([0-9.E-]+)[,}]""").r
@@ -485,7 +511,8 @@ object Bench {
         f"""{"config":"${size.name}","urls_processed":$pN,"cores_n":$small,"secs_n":$tN%.2f,"urls_per_sec_n":$thrN%.0f,"cores_4n":$cpus,"secs_4n":$t4%.2f,"urls_per_sec_4n":$thr4%.0f,"scaling_efficiency":$eff%.3f,"kernel_urls":$kN,"kernel_secs_n":$ktN%.2f,"kernel_secs_4n":$kt4%.2f,"kernel_urls_per_sec_n":${kN / ktN}%.0f,"kernel_urls_per_sec_4n":${kN / kt4}%.0f,"kernel_scaling_efficiency":$keff%.3f}"""
     }
     def writeMd(byName: Map[String, PairStats]): Unit = {
-      val st = byName.get("xl").orElse(byName.get("big")).getOrElse(byName("fast"))
+      val st = byName.get("xxl").orElse(byName.get("xl"))
+        .orElse(byName.get("big")).getOrElse(byName("fast"))
       val (pN, tN, t4, kN, ktN, kt4) = (st.pN, st.tN, st.t4, st.kN, st.ktN, st.kt4)
       val (thrN, thr4, eff, keff) = (st.thrN, st.thr4, st.eff, st.keff)
       val webCfg = webCfgOf(st.size)
@@ -493,7 +520,7 @@ object Bench {
       val fastMd =
         if (byName.size < 2) ""
         else {
-          val rows = Seq("fast", "big", "xl").flatMap(byName.get).map(f =>
+          val rows = Seq("fast", "big", "xl", "xxl").flatMap(byName.get).map(f =>
             f"| ${f.size.name} | ${webCfgOf(f.size).totalDocs} docs | ${f.tN}%.2f s | ${f.t4}%.2f s | ${f.eff}%.3f |")
             .mkString("\n")
           s"""|
@@ -571,8 +598,9 @@ object Bench {
     // kernel trials POOL shared by every size running the same kernel n
     // (big + xl): a noisy xl attempt must never degrade the banked kernel
     var kpool = Vector.empty[(Int, Long, Double)] // (cores, kernelUrls, secs)
-    def headline = byName.get("xl").orElse(byName.get("big")).getOrElse(byName("fast"))
-    for (size <- Seq(fastSize, bigSize, xlSize)) {
+    def headline = byName.get("xxl").orElse(byName.get("xl"))
+      .orElse(byName.get("big")).getOrElse(byName("fast"))
+    for (size <- Seq(fastSize, bigSize, xlSize, xxlSize)) {
       var trials = Vector.empty[(Int, (Long, Double, Long, Double))]
       for (rep <- 1 to size.reps; c <- Seq(small, cpus)) {
         quietWait()
