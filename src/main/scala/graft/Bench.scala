@@ -547,7 +547,11 @@ object Bench {
            |in this sandbox). Headline numbers = the "${st.size.name}" config,
            |min over up to ${st.size.reps} interleaved repetition(s) per level
            |(this file is rewritten after every completed pair), each level a
-           |fresh JVM (heap scaling with cores like aggregate cluster memory),
+           |fresh JVM (heap scaling with cores like aggregate cluster memory,
+           |with a per-tier floor where the storage-partitioned joins' hash
+           |builds outgrow a cores-scaled heap — memory provisions to the
+           |corpus at any cluster width, and more memory at N only speeds
+           |T_N, so the floor cannot inflate efficiency),
            |shuffle + snapshots on the RAM disk (the sandbox's single virtio
            |disk stalls the whole box in writeback — a constant a real N-vs-4N
            |cluster does not share, since node-local disks scale with N).
