@@ -172,7 +172,10 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS_XXL", "180000").toInt,
     sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt,
     sys.env.getOrElse("SPARK_GRAFT_BENCH_KERNEL", "25000000").toLong,
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_XXL", "1").toInt,
+    // two reps like xl: a ~5-minute 32-core rep rarely dodges every
+    // preemption burst (4 of 5 manual xxl-32 attempts caught one); the
+    // tier runs last, so reps the driver budget cuts cost nothing
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_XXL", "2").toInt,
     minHeapGb = 24)
   // 20 links/doc (real pages average well above this): per-round compute —
   // link explode, resolve, canonicalize, dedup — must dominate the fixed
