@@ -364,10 +364,24 @@ object Bench {
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(false)
     val proc = pb.start()
-    // drain stderr CONCURRENTLY: a full pipe buffer would block the child
+    // drain stderr CONCURRENTLY (a full pipe buffer would block the child),
+    // but echo ONLY marker/diagnostic lines: the children's Spark boot INFO
+    // logs (emitted before setLogLevel takes effect) flooded the combined
+    // stream the driver tails, scrolling the result line out of the window
+    // it parses — round 4's rc=124/parsed:null artifact despite banked
+    // evidence. Markers + errors pass; framework noise is dropped.
     val err = proc.getErrorStream
     val drain = new Thread(() => {
-      try err.transferTo(System.err) catch { case _: Throwable => } })
+      try {
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(err))
+        var line = br.readLine()
+        while (line != null) {
+          if (line.startsWith("[") || line.contains("Exception") ||
+              line.contains("ERROR") || line.startsWith("\tat "))
+            System.err.println(line)
+          line = br.readLine()
+        }
+      } catch { case _: Throwable => } })
     drain.setDaemon(true); drain.start()
     val out = new String(proc.getInputStream.readAllBytes)
     proc.waitFor()
@@ -444,6 +458,20 @@ object Bench {
     println(s"GRAFT_QUERIES_RESULT $qs")
     println(f"""GRAFT_QUERIES_META {"mem_gb_post":$memAvailGb%.1f,"loads":$ls}""")
   }
+
+  /** Wall-clock budget for the WHOLE bench run (seconds). The driver kills
+    * the bench at its own timeout; two rounds of evidence died to attempts
+    * that ran past it (round 1: one big config + final-only print; round 4:
+    * an unguarded xxl attempt after the xl pair was banked). Every tier rep
+    * is now gated on remaining budget vs a projected pair cost, so the run
+    * ENDS CLEANLY (rc 0, final result line in the tail) instead of being
+    * killed mid-tier. Default 2700 s sits safely inside the observed driver
+    * window (~55 min in round 4); override with GRAFT_BENCH_BUDGET_S. */
+  private val budgetS: Double =
+    sys.env.get("GRAFT_BENCH_BUDGET_S").orElse(sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S"))
+      .map(_.toDouble).getOrElse(2700.0)
+  private val benchT0 = System.nanoTime()
+  private def remainingS: Double = budgetS - (System.nanoTime() - benchT0) / 1e9
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "--frontier-level") {
@@ -607,36 +635,66 @@ object Bench {
     var kpool = Vector.empty[(Int, Long, Double)] // (cores, kernelUrls, secs)
     def headline = byName.get("xxl").orElse(byName.get("xl"))
       .orElse(byName.get("big")).getOrElse(byName("fast"))
-    for (size <- Seq(fastSize, bigSize, xlSize, xxlSize)) {
-      var trials = Vector.empty[(Int, (Long, Double, Long, Double))]
-      for (rep <- 1 to size.reps; c <- Seq(small, cpus)) {
-        quietWait()
-        val res = forkLevel(c, size.name, rep)
-        trials :+= (c -> res)
-        if (res._3 == bigSize.kernel) kpool :+= ((c, res._3, res._4))
-        if (trials.exists(_._1 == small) && trials.exists(_._1 == cpus)) {
-          def best(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._2)
-          val (pN, tN, _, _) = best(small)
-          val (p4, t4, _, _) = best(cpus)
-          val (kN, ktN, kt4) =
-            if (size.kernel == bigSize.kernel && kpool.exists(_._1 == small) &&
-                kpool.exists(_._1 == cpus))
-              (bigSize.kernel,
-               kpool.filter(_._1 == small).map(_._3).min,
-               kpool.filter(_._1 == cpus).map(_._3).min)
-            else {
-              def bestK(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._4)
-              (bestK(small)._3, bestK(small)._4, bestK(cpus)._4)
+    def printLatest(): Unit =
+      printLine(if (byName.isEmpty) None else Some(headline.json))
+    // projected wall-clock of ONE full rep pair (N fork + 4N fork + synth +
+    // quiet waits) per tier: seeded with conservative priors from four
+    // rounds of reps.jsonl, replaced by this run's own measurement as soon
+    // as a tier completes a rep. A rep only STARTS if the projection fits
+    // the remaining budget — so the bench always ends cleanly inside the
+    // driver's window instead of being killed mid-tier (rounds 1 and 4).
+    val pairPrior = Map("fast" -> 240.0, "big" -> 300.0, "xl" -> 480.0, "xxl" -> 1100.0)
+    var pairMeasured = Map.empty[String, Double]
+    try {
+      for (size <- Seq(fastSize, bigSize, xlSize, xxlSize)) {
+        var trials = Vector.empty[(Int, (Long, Double, Long, Double))]
+        for (rep <- 1 to size.reps; if {
+          val projected = pairMeasured.getOrElse(size.name, pairPrior(size.name))
+          val fits = remainingS > projected * 1.15 + 60
+          if (!fits) System.err.println(
+            f"[bench] skipping ${size.name} rep $rep: projected $projected%.0f s " +
+            f"pair does not fit remaining budget ${remainingS}%.0f s")
+          fits
+        }) {
+          val repT0 = System.nanoTime()
+          for (c <- Seq(small, cpus)) {
+            quietWait()
+            val res = forkLevel(c, size.name, rep)
+            trials :+= (c -> res)
+            if (res._3 == bigSize.kernel) kpool :+= ((c, res._3, res._4))
+            // the latest banked line goes out after EVERY fork, not just on
+            // pair completion: a long level between prints is exactly the
+            // window where round 4's line scrolled out of the driver's tail
+            printLatest()
+            if (trials.exists(_._1 == small) && trials.exists(_._1 == cpus)) {
+              def best(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._2)
+              val (pN, tN, _, _) = best(small)
+              val (p4, t4, _, _) = best(cpus)
+              val (kN, ktN, kt4) =
+                if (size.kernel == bigSize.kernel && kpool.exists(_._1 == small) &&
+                    kpool.exists(_._1 == cpus))
+                  (bigSize.kernel,
+                   kpool.filter(_._1 == small).map(_._3).min,
+                   kpool.filter(_._1 == cpus).map(_._3).min)
+                else {
+                  def bestK(c: Int) = trials.filter(_._1 == c).map(_._2).minBy(_._4)
+                  (bestK(small)._3, bestK(small)._4, bestK(cpus)._4)
+                }
+              require(pN == p4, s"determinism violation: $pN != $p4 URLs at different parallelism")
+              byName += size.name -> PairStats(size, pN, tN, t4, kN, ktN, kt4)
+              // the result line + BASELINE.md always carry the LARGEST
+              // completed config, refreshed after every pair — a driver
+              // timeout anywhere still leaves complete evidence on disk
+              printLatest()
+              writeMd(byName)
             }
-          require(pN == p4, s"determinism violation: $pN != $p4 URLs at different parallelism")
-          byName += size.name -> PairStats(size, pN, tN, t4, kN, ktN, kt4)
-          // the result line + BASELINE.md always carry the LARGEST
-          // completed config, refreshed after every pair — a driver timeout
-          // anywhere still leaves complete evidence on disk
-          printLine(Some(headline.json))
-          writeMd(byName)
+          }
+          pairMeasured += size.name -> (System.nanoTime() - repT0) / 1e9
         }
       }
+    } finally {
+      // the LAST thing on stdout is always the freshest parseable line
+      printLatest()
     }
     if (byName.isEmpty) throw new IllegalStateException("no frontier level pair completed")
   }

@@ -15,6 +15,18 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize the (tiny) result eagerly, then free `big`'s storage
+    * memory. The shingle caches in d2/d4 are the suite's largest cached
+    * frames; left to LRU they stayed resident for the rest of a ~60-query
+    * verify/bench session and skewed later timings. The result itself
+    * stays cached (a few hundred rows) for the caller's consumption. */
+  private def unpersistAfter(big: DataFrame)(result: DataFrame): DataFrame = {
+    val out = result.cache()
+    out.count()
+    big.unpersist()
+    out
+  }
+
   /** word-3-gram shingles of `text`, distinct, as an array column.
     * Docs with <3 tokens yield an EMPTY array — guarded explicitly because
     * sequence(0, size-3) would be a descending sequence for short docs and
@@ -76,6 +88,7 @@ object DedupQueries {
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
+        .transform(unpersistAfter(docsSh))
     }),
 
     // ---- d3: SimHash near-dup (60-bit, banded Hamming search) --------------
@@ -149,6 +162,7 @@ object DedupQueries {
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
+        .transform(unpersistAfter(docsSh))
     }),
 
     // ---- d5: embedding-cosine near-dup (oracle-checked) --------------------

@@ -177,6 +177,57 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- S6: REAL gzip round-trip (level 9, java.util.zip) -------------------
+    // The reference's core operation: compress every payload at level 9,
+    // decompress, and verify the output byte-exactly against the source
+    // (PrecompressionRunnable.doCompression/checkConsistency:108-162). The
+    // codec runs through the native `gzip_bytes`/`gunzip_bytes` Catalyst
+    // expressions (whole-stage codegen, one static call per row); the
+    // oracle digests the source text, so any byte the codec path loses or
+    // invents flips the hash. f3_digest_roundtrip keeps the digest-only
+    // half; this is the real two-pass codec the migration user hits first.
+    "s6_gzip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.codecfns._
+      val gz = gzip_bytes($"text".cast("binary"))
+      t(s, dir, "documents")
+        .select($"doc_id", gz.as("gz"), length($"text").cast("long").as("n_src"))
+        .select($"doc_id",
+          md5(gunzip_bytes($"gz")).as("digest"),
+          length(gunzip_bytes($"gz")).cast("long").as("n_bytes"),
+          ($"n_src" > 0 && length($"gz") > 0).cast("int").as("compressed_ok"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- F12: relative-URL resolution (the frontier's hottest scalar) --------
+    // Constructed (base, ref) pairs covering the non-exotic resolution
+    // classes — sibling, ./, ../, rooted, absolute, uncrawlable scheme,
+    // fragment, and the lax bare-% escape boundary — with a pure string-
+    // logic DuckDB oracle; CanonSpec keeps the exotic corners. Both the
+    // raw resolution and its canonicalization are checked.
+    "f12_resolve_url" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.urlfns._
+      val k = $"o_orderkey" % 8
+      val m = $"o_orderkey" % 97
+      val base = concat(lit("http://www.host"), $"o_orderkey" % 50,
+        lit(".example.org/dir1/dir2/page"), m, lit(".html"))
+      val ref = when(k === 0, concat(lit("sib"), m, lit(".html")))
+        .when(k === 1, lit("./here.html"))
+        .when(k === 2, lit("../up.html"))
+        .when(k === 3, concat(lit("/rooted"), m, lit(".html")))
+        .when(k === 4, concat(lit("http://other.example.net/abs"), m))
+        .when(k === 5, lit("mailto:admin@example.org")) // uncrawlable -> null
+        .when(k === 6, concat(lit("#sec"), m))
+        .otherwise(lit("100% x.html")) // bare '%' + space -> %25 / %20
+      t(s, dir, "orders")
+        .select($"o_orderkey", base.as("base"), ref.as("ref"))
+        .select($"o_orderkey", $"ref",
+          resolve_url($"base", $"ref").as("resolved"),
+          canonicalize_url(resolve_url($"base", $"ref")).as("canon"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- F8: MIME normalization ---------------------------------------------
     "f8_mime_normalize" -> ((s, dir) => {
       import s.implicits._
@@ -268,6 +319,23 @@ object PipelineQueries {
           (id, 32 + (b0 >> 4), 32 + (b0 & 0xf), bytes.length.toLong)
         }
       }.toDF("vec_id", "width", "height", "n_bytes")
+        .orderBy($"vec_id")
+    }),
+
+    // ---- multimodal decode, CODEGEN form: same stub decode as
+    // mm_media_decode but as pure column expressions (unhex/conv/substring)
+    // — the shape to prefer whenever the per-record work IS expressible as
+    // columns: the whole plan stays inside WholeStageCodegen, where the
+    // typed-mapPartitions twin above deliberately demonstrates the opaque-
+    // lambda plumbing a real out-of-JVM codec needs. Same oracle.
+    "mm2_decode_cols" -> ((s, dir) => {
+      import s.implicits._
+      val hex = md5(concat(lit("media-"), $"vec_id").cast("binary"))
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          (conv(substring(hex, 1, 1), 16, 10).cast("int") + 32).as("width"),
+          (conv(substring(hex, 2, 1), 16, 10).cast("int") + 32).as("height"),
+          length(unhex(hex)).cast("long").as("n_bytes"))
         .orderBy($"vec_id")
     })
   )
@@ -404,7 +472,51 @@ object PipelineQueries {
         |  CAST(32 + strpos('0123456789abcdef', substr(hex,1,1)) - 1 AS INT) AS width,
         |  CAST(32 + strpos('0123456789abcdef', substr(hex,2,1)) - 1 AS INT) AS height,
         |  CAST(16 AS BIGINT) AS n_bytes
-        |FROM h ORDER BY vec_id""".stripMargin
+        |FROM h ORDER BY vec_id""".stripMargin,
+    "mm2_decode_cols" ->
+      """WITH h AS (SELECT vec_id, md5('media-' || vec_id) AS hex FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(32 + strpos('0123456789abcdef', substr(hex,1,1)) - 1 AS INT) AS width,
+        |  CAST(32 + strpos('0123456789abcdef', substr(hex,2,1)) - 1 AS INT) AS height,
+        |  CAST(16 AS BIGINT) AS n_bytes
+        |FROM h ORDER BY vec_id""".stripMargin,
+    "s6_gzip_roundtrip" ->
+      """SELECT doc_id, md5(text) AS digest,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(text) > 0 AS INT) AS compressed_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f12_resolve_url" ->
+      """WITH p AS (SELECT o_orderkey, o_orderkey % 8 AS k, o_orderkey % 97 AS m,
+        |                  o_orderkey % 50 AS h FROM orders),
+        |r AS (SELECT o_orderkey, k, m,
+        |  'http://www.host' || h || '.example.org' AS www_host,
+        |  'http://host' || h || '.example.org' AS canon_host FROM p)
+        |SELECT o_orderkey,
+        |  CASE WHEN k=0 THEN 'sib' || m || '.html'
+        |       WHEN k=1 THEN './here.html'
+        |       WHEN k=2 THEN '../up.html'
+        |       WHEN k=3 THEN '/rooted' || m || '.html'
+        |       WHEN k=4 THEN 'http://other.example.net/abs' || m
+        |       WHEN k=5 THEN 'mailto:admin@example.org'
+        |       WHEN k=6 THEN '#sec' || m
+        |       ELSE '100% x.html' END AS ref,
+        |  CASE WHEN k=0 THEN www_host || '/dir1/dir2/sib' || m || '.html'
+        |       WHEN k=1 THEN www_host || '/dir1/dir2/here.html'
+        |       WHEN k=2 THEN www_host || '/dir1/up.html'
+        |       WHEN k=3 THEN www_host || '/rooted' || m || '.html'
+        |       WHEN k=4 THEN 'http://other.example.net/abs' || m
+        |       WHEN k=5 THEN NULL
+        |       WHEN k=6 THEN www_host || '/dir1/dir2/page' || m || '.html#sec' || m
+        |       ELSE www_host || '/dir1/dir2/100%25%20x.html' END AS resolved,
+        |  CASE WHEN k=0 THEN canon_host || '/dir1/dir2/sib' || m || '.html'
+        |       WHEN k=1 THEN canon_host || '/dir1/dir2/here.html'
+        |       WHEN k=2 THEN canon_host || '/dir1/up.html'
+        |       WHEN k=3 THEN canon_host || '/rooted' || m || '.html'
+        |       WHEN k=4 THEN 'http://other.example.net/abs' || m
+        |       WHEN k=5 THEN NULL
+        |       WHEN k=6 THEN canon_host || '/dir1/dir2/page' || m || '.html'
+        |       ELSE canon_host || '/dir1/dir2/100%25%20x.html' END AS canon
+        |FROM r ORDER BY o_orderkey""".stripMargin
   ) ++ Map(
     "o5_chunked_limit" ->
       """WITH r AS (SELECT o_orderkey,

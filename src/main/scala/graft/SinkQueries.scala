@@ -29,12 +29,34 @@ object SinkQueries {
 
   /** Scratch dir for sink outputs: RAM disk when present (same policy as
     * the bench — the sandbox's single virtio disk stalls under writeback),
-    * unique per invocation. NOT deleted here: the returned frame re-reads
-    * it lazily when the caller acts on it (tmpfs, a few MB). */
+    * unique per invocation. NOT deleted at return: the returned frame
+    * re-reads it lazily when the caller acts on it. Instead every dir this
+    * JVM created is swept at exit, and STALE dirs from earlier crashed/
+    * killed sessions are swept on first use — repeated verify/bench runs
+    * must not accumulate RAM-backed garbage on a shared host. */
+  private val made = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val sweeper: Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    // stale survivors of previous sessions: anything matching our prefix
+    // not touched for an hour cannot belong to a live query
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    Option(new java.io.File(scratchBase).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft-sink-") && f.lastModified() < cutoff) rm(f)
+    })
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      made.forEach(p => rm(new java.io.File(p)))))
+  }
+  private def scratchBase: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
   private def scratch(tag: String): String = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-               else System.getProperty("java.io.tmpdir")
-    s"$base/graft-sink-$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    sweeper
+    val p = s"$scratchBase/graft-sink-$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    made.add(p)
+    p
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -60,26 +82,39 @@ object SinkQueries {
         .orderBy($"old_offset")
     }),
 
-    // K2: CDX sink round-trip — write space-joined CDX records in the fixed
-    // (url, date, mime, size, offset, filename) layout (the "NbamskrVg"
-    // formatter call, PrecompressionRunnable.java:280), read back, parse.
+    // K2: CDX sink round-trip — write space-joined CDX records in the full
+    // 9-field "NbamskrVg" layout the reference's formatter emits
+    // (PrecompressionRunnable.cdxEntry:280): N canonical-url, b date,
+    // a original-url, m mime, s response-code, k checksum, r redirect,
+    // V compressed-offset, g filename — '-' for unmodeled values, the
+    // reference's own dash convention. Read back, parse, return the typed
+    // fields.
     "k2_cdx_sink" -> ((s, dir) => {
       import s.implicits._
       val out = scratch("cdx")
+      val origUrl = concat(lit("http://WWW.Example.org/"), $"l_orderkey",
+        lit("/"), $"l_linenumber")
       val line = concat_ws(" ",
-        concat(lit("http://example.org/"), $"l_orderkey", lit("/"), $"l_linenumber"),
-        lit("20140301000000"), lit("text/html"),
-        $"l_quantity".cast("long"),
-        ($"l_orderkey" * 7 + $"l_linenumber").cast("long"),
-        concat($"l_orderkey" % 100, lit(".warc.gz")))
+        concat(lit("http://example.org/"), $"l_orderkey", lit("/"), $"l_linenumber"), // N
+        lit("20140301000000"),                                      // b
+        origUrl,                                                    // a
+        lit("text/html"),                                           // m
+        lit(200),                                                   // s
+        md5(concat($"l_orderkey", lit("/"), $"l_linenumber").cast("binary")), // k
+        lit("-"),                                                   // r
+        ($"l_orderkey" * 7 + $"l_linenumber").cast("long"),         // V
+        concat($"l_orderkey" % 100, lit(".warc.gz")))               // g
       t(s, dir, "lineitem").select(line.as("value"))
         .write.mode("overwrite").text(out)
       val f = split($"value", " ")
       s.read.text(out)
         .select(element_at(f, 1).as("url"),
-          element_at(f, 4).cast("long").as("size"),
-          element_at(f, 5).cast("long").as("offset"),
-          element_at(f, 6).as("filename"))
+          element_at(f, 3).as("orig_url"),
+          element_at(f, 5).cast("int").as("status"),
+          element_at(f, 6).as("checksum"),
+          element_at(f, 7).as("redirect"),
+          element_at(f, 8).cast("long").as("offset"),
+          element_at(f, 9).as("filename"))
         .orderBy($"url")
     }),
 
@@ -110,7 +145,10 @@ object SinkQueries {
         |FROM orders ORDER BY old_offset""".stripMargin,
     "k2_cdx_sink" ->
       """SELECT 'http://example.org/' || l_orderkey || '/' || l_linenumber AS url,
-        |       CAST(l_quantity AS BIGINT) AS size,
+        |       'http://WWW.Example.org/' || l_orderkey || '/' || l_linenumber AS orig_url,
+        |       CAST(200 AS INT) AS status,
+        |       md5(l_orderkey || '/' || l_linenumber) AS checksum,
+        |       '-' AS redirect,
         |       CAST(l_orderkey * 7 + l_linenumber AS BIGINT) AS offset,
         |       CAST(l_orderkey % 100 AS VARCHAR) || '.warc.gz' AS filename
         |FROM lineitem ORDER BY url""".stripMargin,

@@ -29,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("crawl_delay"),
       new ExpressionInfo(classOf[CrawlDelay].getName, "crawl_delay"),
       (args: Seq[Expression]) => CrawlDelay(args.head)))
+    e.injectFunction((FunctionIdentifier("gzip_bytes"),
+      new ExpressionInfo(classOf[GzipBytes].getName, "gzip_bytes"),
+      (args: Seq[Expression]) => GzipBytes(args.head)))
+    e.injectFunction((FunctionIdentifier("gunzip_bytes"),
+      new ExpressionInfo(classOf[GunzipBytes].getName, "gunzip_bytes"),
+      (args: Seq[Expression]) => GunzipBytes(args.head)))
   }
 }
