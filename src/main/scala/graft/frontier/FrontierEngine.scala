@@ -687,10 +687,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
             "crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)),
             "lineage" -> lineage))
     }
-    val (capOut, versOut) = Await.result(bloomFut, Duration.Inf)
-    Await.result(seenFut, Duration.Inf)
+    val (capOut, versOut) = timed("await-bloom")(Await.result(bloomFut, Duration.Inf))
+    timed("await-seen")(Await.result(seenFut, Duration.Inf))
     val hostsTotalNew = hostsObs.get("n").asInstanceOf[Long]
-    store.publish(r, manifest,
+    timed("publish")(store.publish(r, manifest,
       Map("seq_base" -> (seqBase + nNew),
           "seen_total" -> newSeenTotal,
           "consumed_total" -> (consumedTotal + nScheduled),
@@ -700,7 +700,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
           "bloom_capacity" -> capOut,
           "frontier_base" -> newBase,
           "hosts_total" -> hostsTotalNew),
-      bloomVersProp(versOut))
+      bloomVersProp(versOut)))
     scheduled.unpersist(); fetched.unpersist()
     links.unpersist(); fresh.unpersist(); freshBuckets.unpersist()
     newEntries.unpersist()
