@@ -69,11 +69,16 @@ case class EngineConfig(
   *     per bucket (SHUFFLE_HASH hint — no per-round re-sort of the seen
   *     set, which multi-file buckets would otherwise force under SMJ).
   *   - the FRONTIER is append-only: each round commits only the round's
-  *     discoveries; the pending set is (adds since the last compaction
-  *     base) anti-join (crawl_log since the base). Per-round commit I/O is
-  *     O(new URLs), not O(|frontier|). Every `compactEvery` rounds one
-  *     compaction rewrites the pending set so the read union stays bounded
-  *     (classic LSM shape: O(n) amortized writes, bounded reads).
+  *     discoveries; the pending set is (compaction artifact at the base +
+  *     adds since) anti-join (crawl_log since the base). Per-round commit
+  *     I/O is O(new URLs), not O(|frontier|). Every `compactEvery` rounds
+  *     one compaction rewrites the pending set so the read union stays
+  *     bounded (classic LSM shape: O(n) amortized writes, bounded reads) —
+  *     and that rewrite runs OFF the critical path: it depends only on
+  *     committed state, so it starts at round open and overlaps the whole
+  *     round, awaited only at publish (at 10^9 pending URLs the rewrite
+  *     costs the round max(0, rewrite − round) extra wall-clock, not the
+  *     full O(|frontier|) stall).
   *   - the bloom filter is PER-SEEN-BUCKET (one sidecar blob per bucket of
   *     the seen table — shard routing IS the bucket function): no false
   *     negatives ⇒ !might_contain rows are PROVABLY new and skip the exact
@@ -184,6 +189,16 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   private def bloomVersProp(vers: Array[Int]): Map[String, String] =
     Map("bloom_vers" -> vers.mkString(","))
 
+  /** Write width FOLLOWS DATA VOLUME (the exact counts are already known
+    * from committed metrics or wave 1 — no extra job): a 10^8-row write
+    * goes wide, a 10^4-row one lands a handful of files instead of a fixed
+    * 64 — per-round commit file count is the crawl's biggest syscall
+    * surface (64 frontier files/round × 10^4 rounds is also a real
+    * small-file problem on HDFS/S3). Floor 8 keeps the pre-write compute
+    * in the coalesced stage parallel; ~2M skinny rows per file. */
+  private def writeWidth(rows: Long): Int =
+    math.max(8, math.min(64, (rows / 2000000L).toInt + 1))
+
   /** Build + write the per-bucket bloom sidecars from a frame ALREADY
     * hash-partitioned by the seen-table bucket function (partition id ==
     * bucket id == bloom shard id): each task builds its bucket's delta
@@ -255,12 +270,19 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       store.storage.deleteRec(tmp)
       store.storage.deleteRec(path)
       spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // bucketed but NOT sorted: the fetch join is SHUFFLE_HASH (hash
+      // build on the schedule side), so a within-bucket sort order buys
+      // nothing — and the sorted write's per-task UnsafeExternalSorter
+      // was measured NOT to scale with cores on this box (26 s at BOTH
+      // local[8] and local[32] for the xl graph, 16-48% system CPU from
+      // 32 concurrent sorters spilling through tmpfs; unsorted: 7.4 s at
+      // local[32]). If an SMJ consumer ever appears, sort at read time.
       docs.select($"doc_id",
           transform(filter($"spans", sp => sp("kind") === "link"),
             sp => sp("media_ref")).as("links"))
         .repartition(cfg.seenShards, $"doc_id")
         .write.format("parquet")
-        .bucketBy(cfg.seenShards, "doc_id").sortBy("doc_id")
+        .bucketBy(cfg.seenShards, "doc_id")
         .option("path", tmp)
         .saveAsTable(stage)
       spark.sql(s"DROP TABLE $stage") // external: the files survive the drop
@@ -282,7 +304,7 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       spark.sql(
         s"""CREATE TABLE $name (doc_id STRING, links ARRAY<STRING>)
            |USING PARQUET
-           |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO ${cfg.seenShards} BUCKETS
+           |CLUSTERED BY (doc_id) INTO ${cfg.seenShards} BUCKETS
            |LOCATION '$path'""".stripMargin)
     else if (built) spark.catalog.refreshTable(name) // rebuilt under an existing entry
     spark.table(name)
@@ -348,16 +370,27 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .orderBy($"round", $"fetchTime", $"host", $"seq")
   }
 
-  /** Pending frontier as of snapshot v: frontier ADDITIONS since the last
-    * compaction base (the base itself is a full pending set), minus the
-    * URLs consumed (= scheduled = crawl-logged) since that base. Each URL
-    * is written once on discovery and once per compaction — never rewritten
-    * every round. */
+  /** Pending frontier as of snapshot v: the compaction artifact at the
+    * base (the pending set AS OF base-1, written OFF the critical path —
+    * see runRound's compactFut) plus frontier ADDITIONS since the base,
+    * minus the URLs consumed (= scheduled = crawl-logged) in rounds
+    * base..v. Each URL is written once on discovery and once per
+    * compaction — never rewritten every round. base == 0 (or a store
+    * compacted by an older engine, whose v_base/frontier IS the full set)
+    * takes the legacy shape: adds base..v minus consumed base+1..v. */
   private def pendingFrontier(v: Int, base: Int): DataFrame = {
+    val compactPath = s"${store.root}/data/v$base/frontier_compact"
+    val hasCompact = base > 0 && store.storage.exists(compactPath)
     val addPaths = (base to v).map(i => s"${store.root}/data/v$i/frontier")
       .filter(store.storage.exists)
-    val adds = spark.read.parquet(addPaths: _*)
-    val consumedPaths = (base + 1 to v).map(i => s"${store.root}/data/v$i/crawl_log")
+    val delta = spark.read.parquet(addPaths: _*)
+    val adds =
+      if (hasCompact) spark.read.parquet(compactPath).unionByName(delta)
+      else delta
+    // the compact artifact predates round `base`'s own consumption, so the
+    // anti set starts at base (legacy full-set artifacts already exclude it)
+    val consumedFrom = if (hasCompact) base else base + 1
+    val consumedPaths = (consumedFrom to v).map(i => s"${store.root}/data/v$i/crawl_log")
       .filter(store.storage.exists)
     if (consumedPaths.isEmpty) adds
     else adds.join(spark.read.parquet(consumedPaths: _*).select($"canon"),
@@ -382,6 +415,22 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val pendingCount = seqBase - consumedTotal
     if (pendingCount <= 0) return 0
     val frontier = pendingFrontier(r - 1, base)
+    // ---- compaction rides the WHOLE round, not the commit wave ------------
+    // Every compactEvery rounds the full pending set is rewritten so the
+    // read union stays bounded (LSM shape). The artifact is a pure function
+    // of COMMITTED state (pending as of r-1), so its O(|frontier|) write
+    // starts here — overlapping wave 1 and the commit wave — and is awaited
+    // only at publish: the rewrite costs the round max(0, rewrite - round)
+    // extra wall-clock instead of the full rewrite. Discoveries of round r
+    // are disjoint from its schedule (both sides of the seen anti-join), so
+    // compact(r-1) ∪ delta(r) − consumed(r) ≡ the old synchronous artifact.
+    val isCompaction = cfg.compactEvery > 0 && r % cfg.compactEvery == 0
+    val compactFut: Option[Future[Map[String, String]]] =
+      if (!isCompaction) None
+      else Some(Future {
+        store.writeTables(r, Map("frontier_compact" ->
+          frontier.coalesce(writeWidth(pendingCount))))
+      }(ExecutionContext.global))
     val hostNext = store.read(spark, "host_next", Some(r - 1))
     val priorVer = blobVersions(r - 1)
     // one TINY broadcast per round — the per-shard blob-version manifest,
@@ -420,9 +469,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // ---- "fetch": join the schedule against the link graph.
     // The 100 TB doc table is scanned EXACTLY ONCE PER CRAWL — the
     // `linkGraph` projection (see its scaladoc) — and each round joins the
-    // schedule against that slim (doc_id, links) table. The 404 side is
-    // derived by anti-joining the schedule against the small fetched set —
-    // never by a second scan. The broadcast is ADAPTIVE on the exact
+    // schedule against that slim (doc_id, links) table. The 200/404 split
+    // comes from ONE outer join (or, under the broadcast bound, one cheap
+    // anti-join against the broadcast hit set) — never a second scan of
+    // the graph. The broadcast is ADAPTIVE on the exact
     // pending count (collecting a multi-million-row schedule through the
     // driver is a serial Amdahl term); past broadcastScheduleLimit the
     // join becomes a plain shuffled join, which parallelizes with the
@@ -450,17 +500,36 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // ever being materialized in cache.
     def fetchJoin = docsLinks.join(maybeBc(sched),
       docsLinks("doc_id") === sched("canon"))
-    val fetched = fetchJoin
-      .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
-      .cache()
-    val hitLog = fetched.withColumn("status", lit(200))
-    val missLog = sched
-      .join(maybeBc(fetched.select($"canon")), Seq("canon"), "left_anti")
-      .select($"canon", $"host", $"depth", $"seq", $"fetchTime")
-      .withColumn("status", lit(404))
-    val crawlLogRound = hitLog.unionByName(missLog)
+    // `fetched` carries EVERY schedule row plus a hit flag — the 200/404
+    // split and the lineage counts both read this one cache. Past the
+    // broadcast bound it is ONE right-outer storage-partitioned join
+    // (graph side scans in place, schedule builds the hash table —
+    // SPARK-36612 build-on-preserved-side; sched rows with no doc are the
+    // 404s): the previous hit-join + 404-anti-join shape shuffled the
+    // schedule twice more per round. Under the bound the preserved side
+    // cannot be the broadcast side (BHJ builds only the non-preserved
+    // side), so the cheap two-broadcast shape stays.
+    val fetched = (
+      if (small) {
+        val hits = docsLinks.join(broadcast(sched),
+            docsLinks("doc_id") === sched("canon"))
+          .select($"canon", $"host", $"depth", $"seq", $"fetchTime",
+                  lit(true).as("hit"))
+        sched.join(broadcast(hits.select($"canon")), Seq("canon"), "left_anti")
+          .select($"canon", $"host", $"depth", $"seq", $"fetchTime",
+                  lit(false).as("hit"))
+          .unionByName(hits)
+      } else {
+        docsLinks.join(sched.hint("shuffle_hash"),
+            docsLinks("doc_id") === sched("canon"), "right_outer")
+          .select($"canon", $"host", $"depth", $"seq", $"fetchTime",
+                  $"doc_id".isNotNull.as("hit"))
+      }
+    ).cache()
+    val crawlLogRound = fetched
       .select(lit(r).as("round"), $"fetchTime", $"host", $"canon",
-              $"depth", $"seq", $"status")
+              $"depth", $"seq",
+              when($"hit", lit(200)).otherwise(lit(404)).as("status"))
 
     // ---- link extraction → canon → min-depth per target -------------------
     // cached: every downstream consumer re-derives its slice from this
@@ -579,14 +648,10 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       .cache()
 
     // ---- state updates -----------------------------------------------------
-    // frontier DELTA: this round's discoveries only; a compaction round
-    // rewrites the full pending set and moves the read base forward.
-    val isCompaction = cfg.compactEvery > 0 && r % cfg.compactEvery == 0
-    val frontierOut =
-      if (isCompaction)
-        frontier.join(sched.select($"canon"), Seq("canon"), "left_anti")
-          .unionByName(newEntries)
-      else newEntries
+    // frontier DELTA: this round's discoveries only, every round — a
+    // compaction round additionally lands the frontier_compact artifact
+    // (started at round open, see compactFut) and moves the read base.
+    val frontierOut = newEntries
     val newBase = if (isCompaction) r.toLong else base.toLong
     val hostAdvance = scheduled.groupBy($"host")
       .agg((max($"rank") * max($"delay")).as("advance"))
@@ -601,11 +666,13 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
 
     // per-host lineage for this round (north rule: per-partition lineage);
     // written with its natural (AQE-coalesced) partitioning — no
-    // single-task coalesce anywhere in the commit
-    val lineage = crawlLogRound.groupBy($"host").agg(
+    // single-task coalesce anywhere in the commit. Aggregates read the
+    // slim `fetched` cache directly (not crawlLogRound, whose projection
+    // would re-scan the same cache in a second commit-wave job).
+    val lineage = fetched.groupBy($"host").agg(
         count(lit(1)).as("scheduled"),
-        sum(when($"status" === 200, 1L).otherwise(0L)).as("fetched_200"),
-        sum(when($"status" === 404, 1L).otherwise(0L)).as("fetched_404"))
+        sum(when($"hit", 1L).otherwise(0L)).as("fetched_200"),
+        sum(when(!$"hit", 1L).otherwise(0L)).as("fetched_404"))
       .join(newEntries.groupBy($"host").agg(count(lit(1)).as("discovered_new")),
             Seq("host"), "full_outer")
       .select(lit(r).as("round"), $"host",
@@ -670,27 +737,19 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val seenFut: Future[Unit] = Future {
       timed("seen")(seen.append(freshBuckets, r, prePartitioned = true))
     }
-    // write width FOLLOWS DATA VOLUME (the exact counts are already known
-    // from wave 1 — no extra job): a 10^8-row round writes wide, a 10^4-row
-    // round writes a handful of files instead of a fixed 64+64 — per-round
-    // commit file count is the crawl's biggest syscall surface (64 frontier
-    // files/round x 10^4 rounds is also a real small-file problem on HDFS/
-    // S3). Floor 8 keeps the pre-write compute (the 404 anti-join chains
-    // into the coalesced stage) parallel; ~2M skinny rows per file.
-    def writeWidth(rows: Long): Int =
-      math.max(8, math.min(64, (rows / 2000000L).toInt + 1))
-    val frontierRows = if (isCompaction) math.max(pendingCount, nNew) else nNew
     val manifest = timed("commit") {
       store.writeTables(r,
-        Map("frontier" -> frontierOut.coalesce(writeWidth(frontierRows)),
+        Map("frontier" -> frontierOut.coalesce(writeWidth(nNew)),
             "host_next" -> hostNextNew,
             "crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)),
             "lineage" -> lineage))
     }
     val (capOut, versOut) = timed("await-bloom")(Await.result(bloomFut, Duration.Inf))
     timed("await-seen")(Await.result(seenFut, Duration.Inf))
+    val compactManifest = compactFut.map(f =>
+      timed("await-compact")(Await.result(f, Duration.Inf))).getOrElse(Map.empty)
     val hostsTotalNew = hostsObs.get("n").asInstanceOf[Long]
-    timed("publish")(store.publish(r, manifest,
+    timed("publish")(store.publish(r, manifest ++ compactManifest,
       Map("seq_base" -> (seqBase + nNew),
           "seen_total" -> newSeenTotal,
           "consumed_total" -> (consumedTotal + nScheduled),

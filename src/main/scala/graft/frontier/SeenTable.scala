@@ -72,7 +72,7 @@ class SeenTable(spark: SparkSession, location: String, shards: Int,
       spark.sql(
         s"""CREATE TABLE $tableName (canon STRING, round INT)
            |USING PARQUET
-           |CLUSTERED BY (canon) SORTED BY (canon) INTO $shards BUCKETS
+           |CLUSTERED BY (canon) INTO $shards BUCKETS
            |LOCATION '$location'""".stripMargin)
     }
   }
@@ -91,8 +91,14 @@ class SeenTable(spark: SparkSession, location: String, shards: Int,
       else out0.repartition(shards, col("canon"))
     ensure()
     val mode = if (spark.catalog.tableExists(tableName)) "append" else "overwrite"
+    // bucketed but NOT sorted: the dedup join is a SHUFFLE_HASH build on
+    // the seen bucket, so within-bucket order buys nothing — and the
+    // sorted write's per-task sorter was measured not to scale with cores
+    // (32 concurrent UnsafeExternalSorters contend in the kernel on this
+    // box; see the linkGraph write note). The append sorts NOTHING now:
+    // each task streams its bucket's rows straight into parquet.
     out.write.mode(mode).format("parquet")
-      .bucketBy(shards, "canon").sortBy("canon")
+      .bucketBy(shards, "canon")
       .option("path", location)
       .saveAsTable(tableName)
     // marker AFTER the first successful write: a crash mid-first-append

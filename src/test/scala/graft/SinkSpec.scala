@@ -21,14 +21,16 @@ class SinkSpec extends SparkSuite {
     assert(got.toSeq === expect.toSeq)
   }
 
-  test("k2 cdx sink preserves url/size/offset/filename per record") {
+  test("k2 cdx sink preserves the 9-field NbamskrVg layout per record") {
     val got = SparkEntry.queries("k2_cdx_sink")(spark, sf("sf0.001")).cache()
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
     assert(got.count() === li.count())
-    // every parsed row must carry a well-formed url + filename and the
-    // derived offset (no field lost or shifted by the round-trip)
+    // every parsed row must carry a well-formed url + filename, the derived
+    // offset, and the fixed-position fields (status, 32-hex checksum, dash
+    // redirect) — no field lost or shifted by the round-trip
     assert(got.filter(!$"url".startsWith("http://example.org/") ||
-      !$"filename".endsWith(".warc.gz") || $"offset".isNull || $"size".isNull)
+      !$"filename".endsWith(".warc.gz") || $"offset".isNull ||
+      $"status" =!= 200 || $"redirect" =!= "-" || length($"checksum") =!= 32)
       .count() === 0)
     got.unpersist()
   }
