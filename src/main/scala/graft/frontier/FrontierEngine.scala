@@ -131,6 +131,33 @@ case class EngineConfig(
   *     the entire commit (5 table writes, seen append, bloom update) runs
   *     as one concurrent wave.
   */
+object FrontierEngine {
+  // one listener per SparkContext (a level fork builds a fresh session per
+  // run; a JVM-global guard would silently skip every session after the first)
+  private val stageListenerOn =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  /** Diagnostic-only per-stage wall/CPU log (SPARK_GRAFT_STAGE_LOG): the
+    * phase timer names WHICH wave is slow; this names WHICH STAGE inside
+    * the wave, and comparing stage wall-clock across parallelism levels
+    * separates per-stage fixed latency from compute that scales. */
+  private def ensureStageListener(spark: SparkSession): Unit =
+    if (stageListenerOn.add(spark.sparkContext.applicationId))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield (c - s) / 1000.0).getOrElse(-1.0)
+            val cpu = si.taskMetrics.executorRunTime / 1000.0
+            System.err.println(
+              f"[stage] id=${si.stageId} tasks=${si.numTasks} wall=$wall%.2fs " +
+              f"cpuSum=$cpu%.1fs name=${si.name.takeWhile(_ != '(').trim} " +
+              s"details=${si.name}")
+          }
+        })
+}
+
 class FrontierEngine(spark: SparkSession, store: SnapshotStore,
                      cfg: EngineConfig = EngineConfig()) {
   import spark.implicits._
@@ -146,6 +173,8 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       out
     }
   }
+  if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+    FrontierEngine.ensureStageListener(spark)
 
   private val seen = new SeenTable(spark, s"${store.root}/seen_bucketed",
     cfg.seenShards, store.storage)
@@ -194,10 +223,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * goes wide, a 10^4-row one lands a handful of files instead of a fixed
     * 64 — per-round commit file count is the crawl's biggest syscall
     * surface (64 frontier files/round × 10^4 rounds is also a real
-    * small-file problem on HDFS/S3). Floor 8 keeps the pre-write compute
-    * in the coalesced stage parallel; ~2M skinny rows per file. */
+    * small-file problem on HDFS/S3). ~250k skinny rows per file: the old
+    * 2M-rows/file divisor pinned a 4M-row crawl-log write to the 8-task
+    * floor, and the stage log showed ~30 s of parquet-encode CPU forced
+    * through those 8 tasks (a 7 s serial tail at local[32] — encode CPU,
+    * not file size, is what the width must parallelize). Floor 8 keeps
+    * tiny rounds at a handful of files; cap 64 bounds the per-round file
+    * count at any volume. */
   private def writeWidth(rows: Long): Int =
-    math.max(8, math.min(64, (rows / 2000000L).toInt + 1))
+    math.max(8, math.min(64, (rows / 250000L).toInt + 1))
 
   /** Build + write the per-bucket bloom sidecars from a frame ALREADY
     * hash-partitioned by the seen-table bucket function (partition id ==
@@ -321,15 +355,22 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     val hosts = canonSeeds.map(UrlCanon.hostOf).distinct
     val hostNext = hosts.toDF("host").withColumn("next_time", lit(0L))
     val capPerShard = math.max(16L, cfg.bloomCapacity / cfg.seenShards)
-    val manifest = store.writeTables(0,
-      Map("frontier" -> frontier, "host_next" -> hostNext,
-          "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
-          "lineage" -> emptyLineage))
+    // one concurrent wave, like the per-round commit: table writes, the
+    // seed seen-append and the seed blooms are independent jobs — running
+    // them serially cost ~8 s of fixed init latency at every level
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val seedBuckets = canonSeeds.toDF("canon")
       .repartition(cfg.seenShards, $"canon").cache()
-    seen.append(seedBuckets, 0, prePartitioned = true)
-    val written = writeBucketBlooms(seedBuckets, capPerShard, 0,
-      Array.fill(cfg.seenShards)(-1))
+    val manifestFut = Future(store.writeTables(0,
+      Map("frontier" -> frontier, "host_next" -> hostNext,
+          "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
+          "lineage" -> emptyLineage)))
+    val seenFut = Future(seen.append(seedBuckets, 0, prePartitioned = true))
+    val bloomFut = Future(writeBucketBlooms(seedBuckets, capPerShard, 0,
+      Array.fill(cfg.seenShards)(-1)))
+    val manifest = Await.result(manifestFut, Duration.Inf)
+    Await.result(seenFut, Duration.Inf)
+    val written = Await.result(bloomFut, Duration.Inf)
     seedBuckets.unpersist()
     val vers0 = Array.tabulate(cfg.seenShards)(k => if (written(k)) 0 else -1)
     store.publish(0, manifest,
