@@ -284,8 +284,19 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * bucketing metadata the graph side scans in place and ONLY the skinny
     * schedule shuffles: per-round fetch shuffle volume is O(schedule),
     * never O(corpus). Bucket count = seenShards = shuffle.partitions, so
-    * the scan's HashPartitioning satisfies the join's distribution exactly. */
-  private def linkGraph(docs: DataFrame): DataFrame = {
+    * the scan's HashPartitioning satisfies the join's distribution exactly.
+    *
+    * MEMOIZED + synchronized per engine: `run()` kicks the build off
+    * concurrently with `init` (the two are independent — init writes the
+    * seed snapshot, the projection reads only the corpus), so the once-
+    * per-crawl pass overlaps the once-per-crawl init instead of
+    * serializing round 1; round 1's fetch join blocks here only for
+    * whatever is left. */
+  private def linkGraph(docs: DataFrame): DataFrame = synchronized {
+    if (lgMemo != null) lgMemo else { lgMemo = buildLinkGraph(docs); lgMemo }
+  }
+  @volatile private var lgMemo: DataFrame = _
+  private def buildLinkGraph(docs: DataFrame): DataFrame = {
     val path = s"${store.root}/links"
     // table name carries the path identity AND the bucket count, so a graph
     // rebuilt under a different count can never hit a stale catalog entry
@@ -811,7 +822,13 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
   /** Run until the frontier drains or maxRounds — resuming from the last
     * committed snapshot if one exists (T1/P3 resume semantics). */
   def run(docs: DataFrame, seeds: Seq[String], maxRounds: Int): Int = {
+    // overlap the two once-per-crawl passes: the link-graph projection
+    // (reads only the corpus) builds concurrently with the seed snapshot;
+    // round 1 blocks in linkGraph's memo only for the remainder
+    val lgFut = Future(linkGraph(docs))(ExecutionContext.global)
     if (store.currentVersion.isEmpty) init(seeds)
+    Await.ready(lgFut, Duration.Inf)
+    lgFut.value.get.get // surface a build failure here, not inside round 1
     var r = store.currentVersion.get + 1
     var last = r - 1
     var continue = true
