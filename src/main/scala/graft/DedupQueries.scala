@@ -27,31 +27,57 @@ object DedupQueries {
     out
   }
 
-  /** word-3-gram shingles of `text`, distinct, as an array column.
+  /** word-3-gram shingles over a MATERIALIZED token-array column, distinct.
+    * `toks` must be a bound column (see docShingles), never an inline
+    * `split(...)` expression: higher-order-function lambdas are interpreted
+    * (no whole-stage codegen, no common-subexpression elimination), so an
+    * unmaterialized split re-tokenized the document for every element_at —
+    * 3 splits per shingle position, measured as 3.5 s of the 4.8 s shingle
+    * build at sf0.1 (guide §4.1: keep per-element lambda bodies O(1)).
     * Docs with <3 tokens yield an EMPTY array — guarded explicitly because
     * sequence(0, size-3) would be a descending sequence for short docs and
     * element_at(toks, 0) throws under Spark 4 ANSI mode (the DuckDB
     * oracle's range(1, len-1) is naturally empty for the same docs). */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  private def shinglesOf(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
           element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, sh) with the token array materialized before the shingle HOF. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", shinglesOf($"toks").as("sh"))
   }
 
-  /** MinHash signature: k permutation-hashes h_i(x) = (a_i*x64 + b_i) mod p,
-    * each minimized over the shingle set — pure column expressions. */
-  private def minhash(sh: Column, k: Int): Column = {
-    val p = 2147483647L // 2^31-1 (Mersenne prime)
-    val sigs = (0 until k).map { i =>
-      val a = 2654435761L + 2L * i // odd multipliers < 2^32: a*(h mod p) < 2^63, ANSI-safe
-      val b = 40503L * (i + 7)
-      array_min(transform(sh, x => pmod(pmod(xxhash64(x), lit(p)) * a + b, lit(p))))
-    }
-    array(sigs: _*)
+  /** Exploded shingle index (doc_id, n=|shingle set|, g) from ONE scan.
+    * explode_outer + null-filter ≡ explode here (shingle strings are never
+    * null; empty arrays only come from <3-token docs, which can share no
+    * shingle) — but it keeps InferFiltersFromGenerate from inlining the
+    * WHOLE shingle expression into an inferred `size(...)>0 AND
+    * isnotnull(...)` filter below the Generate, which re-evaluated the
+    * interpreted shingle HOF two more times per row (measured: the explode
+    * stage alone fell 7.7 s → 0.4 s at sf0.1). */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docShingles(s, dir)
+      .select($"doc_id", size($"sh").as("n"), explode_outer($"sh").as("g"))
+      .filter($"g".isNotNull)
   }
+
+  /** All ordered pairs (ids[i], ids[j]) i<j of a SORTED (doc_id, n) struct
+    * array — the per-shingle candidate expansion, carrying each side's
+    * shingle-set size so the verify never joins a sizes table. Bounded:
+    * callers cap the array at dfCap elements, so one group emits at most
+    * dfCap*(dfCap-1)/2 pairs. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.getField("doc_id").as("doc_a"), x.getField("n").as("n_a"),
+          y.getField("doc_id").as("doc_b"), y.getField("n").as("n_b")))))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,15 +88,26 @@ object DedupQueries {
     "d2_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val k = 16; val bands = 4; val rows = 4
+      val p = 2147483647L // 2^31-1 (Mersenne prime)
       // band-join IDs ONLY (shuffling the shingle arrays 4× dominated the
       // cost); re-attach arrays to the tiny candidate set afterwards.
       // cached: consumed three times (signature + both verify re-attaches) —
       // uncached, the scan + shingle transform re-ran per consumer
-      val docsSh = t(s, dir, "documents")
-        .select($"doc_id", shingles($"text").as("sh"))
-        .cache()
+      val docsSh = docShingles(s, dir).cache()
+      // ONE xxhash64 pass per shingle, materialized as `hs`; the k
+      // permutation mins are then pure affine arithmetic over the bound
+      // array (the previous form recomputed xxhash64 inside each of the k
+      // interpreted transform lambdas). Same values: h_i(x) =
+      // ((xxhash64(x) mod p) * a_i + b_i) mod p, a_i odd < 2^32 so the
+      // product stays < 2^63 (ANSI-safe).
+      val sigs = (0 until k).map { i =>
+        val a = 2654435761L + 2L * i
+        val b = 40503L * (i + 7)
+        array_min(transform($"hs", h => pmod(h * a + b, lit(p))))
+      }
       val banded = docsSh
-        .select($"doc_id", minhash($"sh", k).as("sig"))
+        .select($"doc_id", transform($"sh", x => pmod(xxhash64(x), lit(p))).as("hs"))
+        .select($"doc_id", array(sigs: _*).as("sig"))
         .select($"doc_id", posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(slice($"sig", b * rows + 1, lit(rows)).cast("string")))))
@@ -105,8 +142,8 @@ object DedupQueries {
       // partial-aggregable groupBy (the nested-HOF formulation
       // janino-compiled for minutes; this shape codegens in ms and scales:
       // shuffle volume = 1 row/doc after map-side combine)
-      val exploded = t(s, dir, "documents")
-        .select($"doc_id", explode(shingles($"text")).as("g"))
+      val exploded = shingleIndex(s, dir)
+        .select($"doc_id", $"g")
         .withColumn("h", conv(substring(md5($"g".cast("binary")), 1, 15), 16, 10)
           .cast("long"))
       val bitSums = (0 until 60).map(j =>
@@ -141,28 +178,55 @@ object DedupQueries {
     "d4_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val dfCap = 20
-      // cached: consumed four times (df-count, capped index, both verify
-      // re-attaches) — the shingle transform is the query's scan-side cost
-      val docsSh = t(s, dir, "documents")
-        .select($"doc_id", shingles($"text").as("sh"))
+      // Count-based exact verify (guide §8: decide with small rows): the
+      // inverted index is built ONCE and every later term — candidate
+      // pairs, |A∩B|, |A|, |B| — derives from it as COUNTS. The previous
+      // form re-attached the full shingle arrays to every candidate pair
+      // and ran array_intersect/array_union over ~52-string arrays 1.12M
+      // times (measured 11.4 s of the 18 s total at sf0.1); exact jaccard
+      // needs only the integers |A∩B| and |A|+|B|.
+      val inv = shingleIndex(s, dir).cache()
+      // boilerplate shingles (df > dfCap): FEW at any scale by nature —
+      // broadcastable as a g-list; a hot shingle shared by n docs would
+      // emit n² candidate rows, the one unbounded fanout in a 100 TB
+      // corpus. The oracle SQL applies the identical cutoff.
+      val hotG = inv.groupBy($"g").agg(count(lit(1)).as("df"))
+        .filter($"df" > dfCap).select($"g")
+      // candidate pairs + shared-capped-shingle counts in ONE shuffle:
+      // per-shingle sorted doc lists (bounded by dfCap) expand to ordered
+      // pairs — no self-join, no d²-row hash build. count(pairs per (a,b))
+      // = |A∩B| over capped shingles, and the group set IS the candidate
+      // set (pairs sharing ≥1 capped shingle), exactly as before. Each
+      // side's set size rides the pair row (8 bytes) instead of a
+      // sizes-table join — at 10^10 docs a sizes side is unbroadcastable.
+      val interKept = inv.join(broadcast(hotG), Seq("g"), "left_anti")
+        .groupBy($"g").agg(array_sort(collect_list(struct($"doc_id", $"n"))).as("ids"))
+        .select(explode(pairsOf($"ids")).as("pr"))
+        .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
+          $"pr.n_a".as("n_a"), $"pr.n_b".as("n_b"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("ik"), max($"n_a").as("n_a"), max($"n_b").as("n_b"))
         .cache()
-      val inv = docsSh.select($"doc_id", explode($"sh").as("g"))
-      val kept = inv.groupBy($"g").agg(count(lit(1)).as("df"))
-        .filter($"df" <= dfCap).select($"g")
-      val invCapped = inv.join(kept, Seq("g"))
-      val candidates = invCapped.as("x").join(invCapped.as("y"), Seq("g"))
-        .filter($"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
-      candidates
-        .join(docsSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-        .join(docsSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
-        .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("double"))
-        .withColumn("jaccard", $"inter" / $"uni")
+      // |A∩B| must also count shared HOT shingles: correction join bounded
+      // by the candidate set (candidates × hot-shingles-per-doc) — never
+      // hot-df² pairs. AQE picks the join strategy from the actual sizes.
+      val hotInv = inv.join(broadcast(hotG), Seq("g"), "left_semi")
+      val corr = interKept
+        .join(hotInv.select($"doc_id".as("doc_a"), $"g"), Seq("doc_a"))
+        .join(hotInv.select($"doc_id".as("doc_b"), $"g"), Seq("doc_b", "g"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ih"))
+      val res = interKept
+        .join(corr, Seq("doc_a", "doc_b"), "left")
+        .withColumn("inter", $"ik" + coalesce($"ih", lit(0L)))
+        // identical IEEE division to the oracle: int64 inter / int64 union
+        .withColumn("jaccard",
+          $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter").cast("double"))
         .filter($"jaccard" >= 0.8)
         .select($"doc_a", $"doc_b", $"jaccard")
         .orderBy($"doc_a", $"doc_b")
-        .transform(unpersistAfter(docsSh))
+        .transform(unpersistAfter(inv))
+      interKept.unpersist()
+      res
     }),
 
     // ---- d5: embedding-cosine near-dup (oracle-checked) --------------------
@@ -171,10 +235,10 @@ object DedupQueries {
     "d5_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"label", $"embedding",
-          sqrt(dot($"embedding", $"embedding")).as("norm"))
-      val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("va"), $"norm".as("norm_a"))
-      val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("vb"), $"norm".as("norm_b"))
+        .select($"vec_id", $"label", toDouble($"embedding").as("ed"))
+        .select($"vec_id", $"label", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
+      val a = e.select($"vec_id".as("id_a"), $"label", $"ed".as("va"), $"norm".as("norm_a"))
+      val b = e.select($"vec_id".as("id_b"), $"label", $"ed".as("vb"), $"norm".as("norm_b"))
       a.join(b, Seq("label")).filter($"id_a" < $"id_b")
         .withColumn("cosine", dot($"va", $"vb") / ($"norm_a" * $"norm_b"))
         .filter($"cosine" >= 0.42)
@@ -186,11 +250,12 @@ object DedupQueries {
     "ann1_topk_brute" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+        .select($"vec_id", toDouble($"embedding").as("ed"))
+        .select($"vec_id", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
       val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"norm".as("qnorm"))
+        .select($"vec_id".as("query_id"), $"ed".as("qv"), $"norm".as("qnorm"))
       val scored = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
-        .withColumn("cosine", dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+        .withColumn("cosine", dot($"ed", $"qv") / ($"norm" * $"qnorm"))
       val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
       scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
         .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
@@ -205,21 +270,22 @@ object DedupQueries {
     "ann2_topk_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+        .select($"vec_id", toDouble($"embedding").as("ed"))
+        .select($"vec_id", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
       val cents = e.filter($"vec_id" < 16)
-        .select($"vec_id".as("cent_id"), $"embedding".as("cv"), $"norm".as("cnorm"))
+        .select($"vec_id".as("cent_id"), $"ed".as("cv"), $"norm".as("cnorm"))
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("sim", dot($"embedding", $"cv") / ($"norm" * $"cnorm"))
+        .withColumn("sim", dot($"ed", $"cv") / ($"norm" * $"cnorm"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")))
         .filter($"rk" === 1)
-        .select($"vec_id", $"embedding", $"norm", $"cent_id".as("cell"))
+        .select($"vec_id", $"ed", $"norm", $"cent_id".as("cell"))
       val q = assigned.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        .select($"vec_id".as("query_id"), $"ed".as("qv"),
           $"norm".as("qnorm"), $"cell")
       val scored = assigned.join(broadcast(q), Seq("cell"))
         .filter($"vec_id" =!= $"query_id")
-        .withColumn("cosine", dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+        .withColumn("cosine", dot($"ed", $"qv") / ($"norm" * $"qnorm"))
       scored.withColumn("rank", row_number().over(
           Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")))
         .filter($"rank" <= 3)
@@ -228,11 +294,19 @@ object DedupQueries {
     })
   )
 
-  /** Deterministic left-to-right double fold of Σ a_i*b_i (same op order as
-    * the DuckDB oracle's list_sum over element products). */
+  /** float[] → double[] ONCE per vector. The previous dot cast both inputs
+    * per element PER PAIR inside the interpreted lambda; at d5's ~200k
+    * label-blocked pairs the casts were ~a third of the query (A/B probe:
+    * 3.3 s → 2.1 s). A fully unrolled 64-term codegen expression was also
+    * probed and REJECTED: it knocked the stage out of whole-stage codegen
+    * and ran 4× slower than the HOF form. */
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Deterministic left-to-right double fold of Σ a_i*b_i over
+    * double-array inputs (same op order as the DuckDB oracle's list_sum
+    * over element products — cast-then-multiply per element). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Shared oracle CTE: word-3-gram shingle lists per doc. */
   private val shCte =

@@ -200,15 +200,16 @@ object MiscQueries {
         lit("Content-Type"), $"event_type",
         lit("X-Robots-Tag"), when($"event_id" % 3 === 0, "noindex").otherwise("all"),
         lit("LOCATION"), concat(lit("/moved/"), $"event_id"))
+      // lower-cased map materialized ONCE: transform/map_from_entries are
+      // interpreted HOFs with no common-subexpression elimination, so the
+      // previous duplicated expression rebuilt the whole map per lookup
       t(s, dir, "events")
         .withColumn("hmap", headers)
+        .withColumn("lmap", map_from_entries(transform(map_entries($"hmap"),
+          e => struct(lower(e("key")).as("key"), e("value").as("value")))))
         .select($"event_id",
-          element_at(map_from_entries(transform(map_entries($"hmap"),
-            e => struct(lower(e("key")).as("key"), e("value").as("value")))),
-            "location").as("location_header"),
-          element_at(map_from_entries(transform(map_entries($"hmap"),
-            e => struct(lower(e("key")).as("key"), e("value").as("value")))),
-            "x-robots-tag").as("robots_header"))
+          element_at($"lmap", "location").as("location_header"),
+          element_at($"lmap", "x-robots-tag").as("robots_header"))
         .orderBy($"event_id")
     })
   )

@@ -17,6 +17,25 @@ object PipelineQueries {
     s.read.parquet(s"$dir/$name.parquet")
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Streaming checkpoint dir on the RAM disk (same policy as the bench:
+    * the sandbox's single virtio disk stalls under fsync-heavy writeback;
+    * a real cluster checkpoints to storage that scales with nodes), deleted
+    * after the bounded AvailableNow query stops. The default temp
+    * checkpoint lands in java.io.tmpdir = the virtio disk. */
+  private[graft] def withCheckpoint[T](tag: String)(f: String => T): T = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val dir = s"$base/graft-ckpt-$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    try f(dir)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- J2: ordered dual-source merge validation with disturbance FSM ----
@@ -26,16 +45,19 @@ object PipelineQueries {
     "j2_merge_validate" -> ((s, dir) => {
       import s.implicits._
       // (l_orderkey, l_linenumber) is not unique in the synthetic data —
-      // aggregate to unique keys first so the merge order is total
-      val a = t(s, dir, "lineitem")
+      // aggregate to unique keys first so the merge order is total.
+      // Side B is side A's table filtered + perturbed, so both sides come
+      // out of ONE scan + ONE groupBy as conditional aggregates (sum()
+      // ignores the NULLs the `when` leaves for filtered-out rows, and a
+      // key with no surviving B rows sums to NULL — exactly the full-outer
+      // join's missing-side NULL). Replaces 2 scans + 2 shuffles + a
+      // full-outer join with 1 scan + 1 shuffle (guide §2.4).
+      val merged = t(s, dir, "lineitem")
         .groupBy($"l_orderkey", $"l_linenumber")
-        .agg(sum(cents($"l_extendedprice")).as("price_a"))
-      val b = t(s, dir, "lineitem")
-        .filter($"l_suppkey" % 97 =!= 0)
-        .groupBy($"l_orderkey", $"l_linenumber")
-        .agg(sum(cents($"l_extendedprice") +
-          when($"l_partkey" % 101 === 3, 1L).otherwise(0L)).as("price_b"))
-      val merged = a.join(b, Seq("l_orderkey", "l_linenumber"), "full_outer")
+        .agg(sum(cents($"l_extendedprice")).as("price_a"),
+          sum(when($"l_suppkey" % 97 =!= 0,
+            cents($"l_extendedprice") +
+              when($"l_partkey" % 101 === 3, 1L).otherwise(0L))).as("price_b"))
         .withColumn("bucket", $"l_orderkey" % 100)
         .withColumn("disturbed",
           when($"price_a".isNull || $"price_b".isNull || $"price_a" =!= $"price_b", 1L)
@@ -101,13 +123,19 @@ object PipelineQueries {
       // +2-records invariant (reference getRecordDiff:105-108): new table =
       // old table ∪ 2 synthetic records per order; check diff == 2 everywhere
       import s.implicits._
+      // count(union) pushed through the union branches (partial aggregation
+      // per source, guide §2.3): n_new = n_old + n_synth per key, so the
+      // old∪synth recount never rescans lineitem a second time. The inner
+      // join on keys present in BOTH oldC and newC is preserved exactly:
+      // newC's keys ⊇ oldC's, so inner-join(old,new) ≡ oldC's keys with
+      // n_synth defaulting to 0 for keys absent from orders.
       val li = t(s, dir, "lineitem").select($"l_orderkey")
-      val synth = t(s, dir, "orders").select($"o_orderkey".as("l_orderkey"))
-        .withColumn("two", explode(array(lit(1), lit(2)))).drop("two")
       val oldC = li.groupBy($"l_orderkey").agg(count(lit(1)).as("n_old"))
-      val newC = li.unionByName(synth).groupBy($"l_orderkey").agg(count(lit(1)).as("n_new"))
-      oldC.join(newC, Seq("l_orderkey"))
-        .withColumn("diff", $"n_new" - $"n_old")
+      val synthC = t(s, dir, "orders")
+        .groupBy($"o_orderkey".as("l_orderkey"))
+        .agg((count(lit(1)) * 2).as("n_synth"))
+      oldC.join(synthC, Seq("l_orderkey"), "left")
+        .withColumn("diff", coalesce($"n_synth", lit(0L)))
         .groupBy($"diff").agg(count(lit(1)).as("n_orders"))
         .orderBy($"diff")
     }),
@@ -240,13 +268,16 @@ object PipelineQueries {
     // ---- t3: language ID by stopword profile ---------------------------------
     "t3_langid" -> ((s, dir) => {
       import s.implicits._
-      val toks = split($"text", " ")
+      // token array materialized ONCE: the filter() HOF is interpreted, and
+      // an inline split() child re-tokenized the doc for each of the three
+      // stopword profiles
       def score(words: Seq[String]) =
-        size(filter(toks, t => t.isInCollection(words))).cast("long")
+        size(filter($"toks", t => t.isInCollection(words))).cast("long")
       val en = score(Seq("the", "of", "and"))
       val de = score(Seq("der", "die", "und"))
       val fr = score(Seq("le", "la", "et"))
       t(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
         .withColumn("s_en", en).withColumn("s_de", de).withColumn("s_fr", fr)
         .withColumn("predicted",
           when($"s_de" > $"s_en" && $"s_de" >= $"s_fr", "de")
@@ -290,10 +321,13 @@ object PipelineQueries {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
       val qname = "st_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = stream.writeStream.outputMode("complete")
-        .format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      withCheckpoint("hourly") { ckpt =>
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qname)
         .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour_start"),
           $"event_type", $"n", $"value_cents")

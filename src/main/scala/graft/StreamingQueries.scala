@@ -45,10 +45,15 @@ object StreamingQueries {
         .flatMapGroupsWithState(OutputMode.Update,
           GroupStateTimeout.NoTimeout)(fn)
       val qname = "st_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = out.writeStream.outputMode("update")
-        .format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      // checkpoint (incl. the 32 per-partition state stores) on the RAM
+      // disk, not java.io.tmpdir's virtio disk — see withCheckpoint
+      PipelineQueries.withCheckpoint("sess") { ckpt =>
+        val q = out.writeStream.outputMode("update")
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qname)
         .groupBy($"user_id")
         .agg(max($"n_sessions").as("n_sessions"), sum($"n_events").as("n_events"))
