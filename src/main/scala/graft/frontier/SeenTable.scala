@@ -98,6 +98,7 @@ class SeenTable(spark: SparkSession, location: String, shards: Int,
     // box; see the linkGraph write note). The append sorts NOTHING now:
     // each task streams its bucket's rows straight into parquet.
     out.write.mode(mode).format("parquet")
+      .option("compression", "zstd") // faster write + smaller scan (guide §6, A/B'd)
       .bucketBy(shards, "canon")
       .option("path", location)
       .saveAsTable(tableName)

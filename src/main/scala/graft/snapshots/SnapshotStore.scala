@@ -90,7 +90,12 @@ class SnapshotStore(val root: String,
       Future {
         val t0 = System.nanoTime()
         withRetry(s"table write $name/v$v") {
-          df.write.mode("overwrite").parquet(p)
+          // zstd across all snapshot tables: measured faster to WRITE than
+          // the snappy default on this box (parquet-zstd level 1) and ~37%
+          // smaller, and every table is re-read in later rounds (pending
+          // union, crawl-log anti set) where smaller bytes win again —
+          // the guide §6 recommendation, confirmed by A/B probe.
+          df.write.mode("overwrite").option("compression", "zstd").parquet(p)
         }
         if (sys.env.contains("SPARK_GRAFT_PHASE_LOG"))
           System.err.println(f"[phase]   write $name/v$v: ${(System.nanoTime() - t0) / 1e9}%.2f s")
