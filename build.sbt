@@ -34,11 +34,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode Spark = driver-only JVM; 32 concurrent tasks of
   // explode-heavy work GC-thrash in 8g (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  // commit the heap at boot like the bench's forked level JVMs
-  // (-Xms=-Xmx + pre-touch): G1 heap growth during 32-thread allocation
-  // storms skews any timing taken after an allocation-heavy query
-  // (BENCH/INTERFERENCE.md) — sbt-run measurements must match the
-  // official harness's JVM shape
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  "-XX:+AlwaysPreTouch",
+) ++ (
+  // OPT-IN heap pre-commit for measurement runs (SPARK_GRAFT_PRETOUCH=1):
+  // matches the bench's forked level JVMs (-Xms=-Xmx + pre-touch) so
+  // sbt-run BenchExtra timings are comparable — G1 heap growth during
+  // 32-thread allocation storms skews any timing taken after an
+  // allocation-heavy query (BENCH/INTERFERENCE.md). NOT the default: the
+  // official bench's ORCHESTRATOR runs via sbt and must stay thin (a fat
+  // parent starves the forked levels of page cache — Bench.forkJava note).
+  if (sys.env.contains("SPARK_GRAFT_PRETOUCH"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}", "-XX:+AlwaysPreTouch")
+  else Seq.empty
 )
