@@ -70,7 +70,13 @@ object Queries {
     // ---- joins (J1-J6) ----------------------------------------------------
     "j1_zip_join" -> ((s, dir) => {
       // positional zip join (reference J1, writeiFile:270-288): pair the
-      // i-th lineitem per order by shipdate with the i-th by price
+      // i-th lineitem per order by shipdate with the i-th by price.
+      // KEPT as two codegen'd windows + join after an A/B (ProbeJ1 + r6
+      // BenchExtra): the "one exchange" groupBy(collect_list+array_sort+
+      // zip_with) form is row-identical but ~2x SLOWER here — groups
+      // average ~4 rows, so the narrow-row window shuffles are cheap while
+      // ObjectHashAggregate list building + the interpreted zip_with lambda
+      // dominate (guide §1.1: the ideal-plan rewrite lost to the gotcha).
       import s.implicits._
       val li = t(s, dir, "lineitem")
       val byDate = li.withColumn("rn", row_number().over(

@@ -41,8 +41,11 @@ object SinkQueries {
       f.delete()
     }
     // stale survivors of previous sessions: anything matching our prefix
-    // not touched for an hour cannot belong to a live query
-    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    // not touched for SIX hours cannot belong to a live query — reads
+    // don't bump mtime, and a sibling JVM's session (bench budget ≤ 45
+    // min, verify runs shorter) that lazily re-reads a sink dir late must
+    // never have it swept out from under it by a newly starting JVM
+    val cutoff = System.currentTimeMillis() - 6 * 3600 * 1000L
     Option(new java.io.File(scratchBase).listFiles()).foreach(_.foreach { f =>
       if (f.getName.startsWith("graft-sink-") && f.lastModified() < cutoff) rm(f)
     })

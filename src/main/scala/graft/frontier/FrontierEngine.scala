@@ -293,9 +293,18 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * serializing round 1; round 1's fetch join blocks here only for
     * whatever is left. */
   private def linkGraph(docs: DataFrame): DataFrame = synchronized {
-    if (lgMemo != null) lgMemo else { lgMemo = buildLinkGraph(docs); lgMemo }
+    if (lgMemo != null) {
+      // one-corpus-per-engine contract, ENFORCED: the memo is keyed on the
+      // first docs reference — an engine reused with a different corpus
+      // frame would silently return the first crawl's graph otherwise
+      require(lgDocs eq docs,
+        "FrontierEngine is per-crawl: linkGraph already built for a different " +
+        "docs DataFrame — construct a new engine for a new corpus")
+      lgMemo
+    } else { lgDocs = docs; lgMemo = buildLinkGraph(docs); lgMemo }
   }
   @volatile private var lgMemo: DataFrame = _
+  private var lgDocs: DataFrame = _
   private def buildLinkGraph(docs: DataFrame): DataFrame = {
     val path = s"${store.root}/links"
     // table name carries the path identity AND the bucket count, so a graph
@@ -441,7 +450,16 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     * takes the legacy shape: adds base..v minus consumed base+1..v. */
   private def pendingFrontier(v: Int, base: Int): DataFrame = {
     val compactPath = s"${store.root}/data/v$base/frontier_compact"
-    val hasCompact = base > 0 && store.storage.exists(compactPath)
+    // the base snapshot's COMMITTED manifest decides whether a compaction
+    // artifact exists — never a bare filesystem exists(): if the base round
+    // published frontier_compact but the dir is gone/unreadable, that is a
+    // store-integrity failure and must fail LOUDLY, not silently degrade to
+    // deltas-only (which would drop pending URLs). A base without the
+    // manifest entry is the legacy shape (v_base/frontier is the full set).
+    val hasCompact = base > 0 && store.readManifest(base).contains("frontier_compact")
+    if (hasCompact) require(store.storage.exists(compactPath),
+      s"snapshot v$base published frontier_compact but $compactPath is missing " +
+      "— store integrity violation (refusing to silently drop pending URLs)")
     val addPaths = (base to v).map(i => s"${store.root}/data/v$i/frontier")
       .filter(store.storage.exists)
     val delta = spark.read.parquet(addPaths: _*)

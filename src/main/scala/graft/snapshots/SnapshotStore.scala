@@ -153,6 +153,22 @@ class SnapshotStore(val root: String,
     """"([^"]+)": (-?\d+)""".r.findAllMatchIn(m).map(g => g.group(1) -> g.group(2).toLong).toMap
   }
 
+  /** Table-name → path manifest of snapshot v, from the committed metadata
+    * log. Lets readers decide which tables the snapshot PUBLISHED (e.g. a
+    * compaction round's `frontier_compact`) from the atomic commit record
+    * instead of probing the filesystem — a missing published dir is then a
+    * loud integrity failure, not a silent shape change. */
+  def readManifest(v: Int): Map[String, String] = {
+    val txt = storage.readString(s"$metaDir/v$v.json")
+    val m = """"manifest": \{(.*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([^"]+)": "((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m)
+      .map { g =>
+        val unescaped = """\\(.)""".r.replaceAllIn(g.group(2),
+          mm => java.util.regex.Matcher.quoteReplacement(mm.group(1)))
+        g.group(1) -> unescaped
+      }.toMap
+  }
+
   /** String props embedded at publish time (e.g. the per-shard bloom-blob
     * version manifest) — O(props) metadata, read once per round. */
   def readProps(v: Int): Map[String, String] = {
