@@ -231,12 +231,15 @@ object DedupQueries {
 
     // ---- d5: embedding-cosine near-dup (oracle-checked) --------------------
     // Pairwise over a label-blocked join (at scale: LSH/IVF cells instead of
-    // labels); dot/norms as deterministic left-to-right double folds.
+    // labels); dot/norms via the native codegen `dot_f64` (identical
+    // left-to-right IEEE fold — see DotExpressions). The raw FLOAT arrays
+    // ride the join untouched: half the shuffle/broadcast bytes of the
+    // previous cast-to-double materialization (guide §2.3 narrower types).
     "d5_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"label", toDouble($"embedding").as("ed"))
-        .select($"vec_id", $"label", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
+        .select($"vec_id", $"label", $"embedding".as("ed"),
+          sqrt(dot($"embedding", $"embedding")).as("norm"))
       val a = e.select($"vec_id".as("id_a"), $"label", $"ed".as("va"), $"norm".as("norm_a"))
       val b = e.select($"vec_id".as("id_b"), $"label", $"ed".as("vb"), $"norm".as("norm_b"))
       a.join(b, Seq("label")).filter($"id_a" < $"id_b")
@@ -250,8 +253,8 @@ object DedupQueries {
     "ann1_topk_brute" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", toDouble($"embedding").as("ed"))
-        .select($"vec_id", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
+        .select($"vec_id", $"embedding".as("ed"),
+          sqrt(dot($"embedding", $"embedding")).as("norm"))
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"ed".as("qv"), $"norm".as("qnorm"))
       val scored = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
@@ -270,8 +273,8 @@ object DedupQueries {
     "ann2_topk_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-        .select($"vec_id", toDouble($"embedding").as("ed"))
-        .select($"vec_id", $"ed", sqrt(dot($"ed", $"ed")).as("norm"))
+        .select($"vec_id", $"embedding".as("ed"),
+          sqrt(dot($"embedding", $"embedding")).as("norm"))
       val cents = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cent_id"), $"ed".as("cv"), $"norm".as("cnorm"))
       val assigned = e.crossJoin(broadcast(cents))
@@ -294,19 +297,18 @@ object DedupQueries {
     })
   )
 
-  /** float[] → double[] ONCE per vector. The previous dot cast both inputs
-    * per element PER PAIR inside the interpreted lambda; at d5's ~200k
-    * label-blocked pairs the casts were ~a third of the query (A/B probe:
-    * 3.3 s → 2.1 s). A fully unrolled 64-term codegen expression was also
-    * probed and REJECTED: it knocked the stage out of whole-stage codegen
-    * and ran 4× slower than the HOF form. */
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
-
-  /** Deterministic left-to-right double fold of Σ a_i*b_i over
-    * double-array inputs (same op order as the DuckDB oracle's list_sum
-    * over element products — cast-then-multiply per element). */
+  /** Deterministic left-to-right double fold of Σ (double)a_i * (double)b_i
+    * over float/double array inputs — the NATIVE codegen `dot_f64` loop
+    * (DotExpressions), same op order as the DuckDB oracle's list_sum over
+    * cast-then-multiplied element products. History of this hot spot: the
+    * interpreted `aggregate(zip_with(...))` HOF cast both inputs per
+    * element PER PAIR (A/B: 3.3 s → 2.1 s after hoisting the cast); a
+    * fully unrolled 64-term codegen expression was probed and REJECTED
+    * (fell out of whole-stage codegen, 4× slower); the loop-form native
+    * expression keeps the whole stage codegen'd AND drops the per-element
+    * interpreter dispatch. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.dotfns.dot_f64(a, b)
 
   /** Shared oracle CTE: word-3-gram shingle lists per doc. */
   private val shCte =
