@@ -394,8 +394,11 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       Map("frontier" -> frontier, "host_next" -> hostNext,
           "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
           "lineage" -> emptyLineage)))
-    val seenFut = Future(seen.append(seedBuckets, 0, prePartitioned = true))
-    val bloomFut = Future(writeBucketBlooms(seedBuckets, capPerShard, 0,
+    // materialize the shared seed cache once before its two consumers
+    // (same cache-race rationale as the per-round commit wave)
+    val seedMat = Future(seedBuckets.count())
+    val seenFut = seedMat.map(_ => seen.append(seedBuckets, 0, prePartitioned = true))
+    val bloomFut = seedMat.map(_ => writeBucketBlooms(seedBuckets, capPerShard, 0,
       Array.fill(cfg.seenShards)(-1)))
     val manifest = Await.result(manifestFut, Duration.Inf)
     Await.result(seenFut, Duration.Inf)
@@ -764,8 +767,21 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
 
     // ---- commit: ONE concurrent wave, then the atomic publish --------------
     // Table writes, the seen-table append and the bloom sidecar update all
-    // run in parallel (independent jobs over materialized caches); the
-    // metadata rename lands only after every one of them is durable.
+    // run in parallel (independent jobs); the metadata rename lands only
+    // after every one of them is durable.
+    //
+    // The wave is ORDERED around its three shared caches: `fetched`
+    // (crawl_log write + lineage agg), `newEntries` (frontier write +
+    // lineage agg) and `freshBuckets` (seen append + bloom build) are each
+    // consumed by TWO concurrent jobs, and concurrent jobs over a
+    // not-yet-materialized cache each COMPUTE its partitions (the block
+    // store dedups storage, not compute) — the fetch join, the seq sort and
+    // the bucket repartition were being paid ~twice per round inside the
+    // wave (measured: commit-wave scaling 1.6-1.7x over 4x cores, the
+    // round's worst phase). Three head jobs now materialize each cache
+    // exactly once, concurrently; every consumer hangs off its cache's
+    // future and reads warm blocks. Still zero SERIAL actions added: the
+    // head jobs run inside the same concurrent wave.
     implicit val ec: ExecutionContext = ExecutionContext.global
     val newSeenTotal = seenTotal + nNew + blockedCount
     // ONE shuffle shared by the seen append and the bloom sidecar build:
@@ -773,12 +789,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // == bloom shard id), so the bloom update costs no shuffle of its own
     val freshBuckets = fresh.select($"canon")
       .repartition(cfg.seenShards, $"canon").cache()
+    val fetchedMat = Future(timed("mat-fetched")(fetched.count()))
+    val entriesMat = Future(timed("mat-entries")(newEntries.count()))
+    val bucketsMat = Future(timed("mat-buckets")(freshBuckets.count()))
     // each branch returns (capacity, per-shard blob versions to publish):
     // delta writes advance only the touched shards to r, rebuilds advance
     // every shard — the manifest is what the NEXT round's probe reads
     def deltaVers(written: Set[Int]): Array[Int] =
       Array.tabulate(cfg.seenShards)(k => if (written(k)) r else priorVer(k))
-    val bloomFut: Future[(Long, Array[Int])] = Future {
+    val bloomFut: Future[(Long, Array[Int])] = bucketsMat.map { _ =>
       timed("bloom") {
         if (nNew + blockedCount == 0) (capPerShard, priorVer)
         else if (capPerShard >= 4000000L) {
@@ -813,15 +832,23 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
         }
       }
     }
-    val seenFut: Future[Unit] = Future {
+    val seenFut: Future[Unit] = bucketsMat.map { _ =>
       timed("seen")(seen.append(freshBuckets, r, prePartitioned = true))
     }
+    // host_next depends only on wave-1 caches (warm) — starts immediately;
+    // each remaining table write starts the moment its cache is warm, and
+    // lineage (which reads BOTH fetched and newEntries) starts last.
+    val hostNextFut = Future(
+      store.writeTables(r, Map("host_next" -> hostNextNew)))
+    val frontierFut = entriesMat.map(_ =>
+      store.writeTables(r, Map("frontier" -> frontierOut.coalesce(writeWidth(nNew)))))
+    val crawlLogFut = fetchedMat.map(_ =>
+      store.writeTables(r, Map("crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)))))
+    val lineageFut = fetchedMat.zip(entriesMat).map(_ =>
+      store.writeTables(r, Map("lineage" -> lineage)))
     val manifest = timed("commit") {
-      store.writeTables(r,
-        Map("frontier" -> frontierOut.coalesce(writeWidth(nNew)),
-            "host_next" -> hostNextNew,
-            "crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)),
-            "lineage" -> lineage))
+      Seq(hostNextFut, frontierFut, crawlLogFut, lineageFut)
+        .flatMap(f => Await.result(f, Duration.Inf)).toMap
     }
     val (capOut, versOut) = timed("await-bloom")(Await.result(bloomFut, Duration.Inf))
     timed("await-seen")(Await.result(seenFut, Duration.Inf))
