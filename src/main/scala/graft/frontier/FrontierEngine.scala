@@ -394,8 +394,12 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
       Map("frontier" -> frontier, "host_next" -> hostNext,
           "crawl_log" -> spark.emptyDataset[graft.model.CrawlLogEntry].toDF(),
           "lineage" -> emptyLineage)))
-    // materialize the shared seed cache once before its two consumers
-    // (same cache-race rationale as the per-round commit wave)
+    // materialize the shared seed cache ONCE before its two consumers: the
+    // cache's parent is a driver-local relation, and the seen-append and
+    // seed-bloom jobs racing to parallelize it (while the link-graph build
+    // saturates the same cores) measured 19 s slower at local[8] on the xl
+    // web (init+linkgraph 38.7 -> 18.3-19.8 s with this head job). The
+    // per-round commit wave deliberately does NOT do this — see runRound.
     val seedMat = Future(seedBuckets.count())
     val seenFut = seedMat.map(_ => seen.append(seedBuckets, 0, prePartitioned = true))
     val bloomFut = seedMat.map(_ => writeBucketBlooms(seedBuckets, capPerShard, 0,
@@ -767,21 +771,21 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
 
     // ---- commit: ONE concurrent wave, then the atomic publish --------------
     // Table writes, the seen-table append and the bloom sidecar update all
-    // run in parallel (independent jobs); the metadata rename lands only
-    // after every one of them is durable.
+    // run in parallel (independent jobs over the wave-1 caches); the
+    // metadata rename lands only after every one of them is durable.
     //
-    // The wave is ORDERED around its three shared caches: `fetched`
-    // (crawl_log write + lineage agg), `newEntries` (frontier write +
-    // lineage agg) and `freshBuckets` (seen append + bloom build) are each
-    // consumed by TWO concurrent jobs, and concurrent jobs over a
-    // not-yet-materialized cache each COMPUTE its partitions (the block
-    // store dedups storage, not compute) — the fetch join, the seq sort and
-    // the bucket repartition were being paid ~twice per round inside the
-    // wave (measured: commit-wave scaling 1.6-1.7x over 4x cores, the
-    // round's worst phase). Three head jobs now materialize each cache
-    // exactly once, concurrently; every consumer hangs off its cache's
-    // future and reads warm blocks. Still zero SERIAL actions added: the
-    // head jobs run inside the same concurrent wave.
+    // Deliberately NOT ordered around the shared caches (`fetched`,
+    // `newEntries`, `freshBuckets` are each consumed by two concurrent
+    // jobs): a round-6 A/B that materialized each cache once in head jobs
+    // and chained the consumers measured ~10% SLOWER at local[32] AND
+    // slower per-round at local[8] (xl, clean same-window pairs 58.1 vs
+    // 64.2 s @32) — in local mode the block manager's per-block write
+    // locks already serialize concurrent computation of the same cached
+    // partition (second job blocks, then reads), so the races cost little,
+    // while the head-job barrier + extra cache-read pass cost real wall
+    // clock. The INIT wave is the exception (see init): its seed cache
+    // parent is a driver-local relation racing the link-graph build, where
+    // the one-time materialization measured 19 s faster at local[8].
     implicit val ec: ExecutionContext = ExecutionContext.global
     val newSeenTotal = seenTotal + nNew + blockedCount
     // ONE shuffle shared by the seen append and the bloom sidecar build:
@@ -789,15 +793,12 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
     // == bloom shard id), so the bloom update costs no shuffle of its own
     val freshBuckets = fresh.select($"canon")
       .repartition(cfg.seenShards, $"canon").cache()
-    val fetchedMat = Future(timed("mat-fetched")(fetched.count()))
-    val entriesMat = Future(timed("mat-entries")(newEntries.count()))
-    val bucketsMat = Future(timed("mat-buckets")(freshBuckets.count()))
     // each branch returns (capacity, per-shard blob versions to publish):
     // delta writes advance only the touched shards to r, rebuilds advance
     // every shard — the manifest is what the NEXT round's probe reads
     def deltaVers(written: Set[Int]): Array[Int] =
       Array.tabulate(cfg.seenShards)(k => if (written(k)) r else priorVer(k))
-    val bloomFut: Future[(Long, Array[Int])] = bucketsMat.map { _ =>
+    val bloomFut: Future[(Long, Array[Int])] = Future {
       timed("bloom") {
         if (nNew + blockedCount == 0) (capPerShard, priorVer)
         else if (capPerShard >= 4000000L) {
@@ -832,23 +833,15 @@ class FrontierEngine(spark: SparkSession, store: SnapshotStore,
         }
       }
     }
-    val seenFut: Future[Unit] = bucketsMat.map { _ =>
+    val seenFut: Future[Unit] = Future {
       timed("seen")(seen.append(freshBuckets, r, prePartitioned = true))
     }
-    // host_next depends only on wave-1 caches (warm) — starts immediately;
-    // each remaining table write starts the moment its cache is warm, and
-    // lineage (which reads BOTH fetched and newEntries) starts last.
-    val hostNextFut = Future(
-      store.writeTables(r, Map("host_next" -> hostNextNew)))
-    val frontierFut = entriesMat.map(_ =>
-      store.writeTables(r, Map("frontier" -> frontierOut.coalesce(writeWidth(nNew)))))
-    val crawlLogFut = fetchedMat.map(_ =>
-      store.writeTables(r, Map("crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)))))
-    val lineageFut = fetchedMat.zip(entriesMat).map(_ =>
-      store.writeTables(r, Map("lineage" -> lineage)))
     val manifest = timed("commit") {
-      Seq(hostNextFut, frontierFut, crawlLogFut, lineageFut)
-        .flatMap(f => Await.result(f, Duration.Inf)).toMap
+      store.writeTables(r,
+        Map("frontier" -> frontierOut.coalesce(writeWidth(nNew)),
+            "host_next" -> hostNextNew,
+            "crawl_log" -> crawlLogRound.coalesce(writeWidth(nScheduled)),
+            "lineage" -> lineage))
     }
     val (capOut, versOut) = timed("await-bloom")(Await.result(bloomFut, Duration.Inf))
     timed("await-seen")(Await.result(seenFut, Duration.Inf))
